@@ -1,0 +1,315 @@
+// TPU-native framework's host-side range coder: 64-bit rANS with
+// escape-to-bypass coding for out-of-range symbols.
+//
+// Functional spec (bitstream-compatible semantics, not a code port) from the
+// reference coder: CompressAI/compressai/cpp_exts/rans/rans_interface.cpp
+// (probability precision 16, 4-bit bypass chunks, LIFO flush) built on the
+// public-domain ryg_rans 64-bit core (third_party/ryg_rans/rans64.h).
+//
+// Differences from the reference, by design:
+//   * a flat C ABI (ctypes-friendly): arrays in, bytes out — no per-symbol
+//     Python lists crossing the boundary;
+//   * CDFs arrive as one dense int32 [ncdfs, stride] matrix (exactly the
+//     layout the table builder produces), not vector<vector>;
+//   * symbol lookup in the decoder is a binary search over the strictly
+//     increasing CDF rather than a linear scan.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC rans.cpp -o librans.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kPrecision = 16;
+constexpr uint32_t kBypassPrecision = 4;
+constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
+constexpr uint64_t kRansL = 1ull << 31;
+
+struct RansSymbol {
+  uint16_t start;
+  uint16_t range;  // 0 means 1 << 16 for bypass? never: ranges fit uint16 here
+  bool bypass;
+};
+
+// --- 64-bit rANS core -------------------------------------------------------
+
+inline void enc_put(uint64_t &x, uint32_t **pptr, uint32_t start, uint32_t freq) {
+  uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+  if (x >= x_max) {
+    *pptr -= 1;
+    **pptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+inline void enc_put_bits(uint64_t &x, uint32_t **pptr, uint32_t val, uint32_t nbits) {
+  uint32_t freq = 1u << (16 - nbits);
+  uint64_t x_max = ((kRansL >> 16) << 32) * freq;
+  if (x >= x_max) {
+    *pptr -= 1;
+    **pptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  x = (x << nbits) | val;
+}
+
+inline void enc_flush(uint64_t x, uint32_t **pptr) {
+  *pptr -= 2;
+  (*pptr)[0] = static_cast<uint32_t>(x >> 0);
+  (*pptr)[1] = static_cast<uint32_t>(x >> 32);
+}
+
+inline void dec_init(uint64_t &x, uint32_t **pptr) {
+  x = static_cast<uint64_t>((*pptr)[0]) | (static_cast<uint64_t>((*pptr)[1]) << 32);
+  *pptr += 2;
+}
+
+inline uint32_t dec_get(uint64_t x) { return x & ((1u << kPrecision) - 1); }
+
+inline void dec_advance(uint64_t &x, uint32_t **pptr, uint32_t start, uint32_t freq) {
+  uint64_t mask = (1ull << kPrecision) - 1;
+  x = freq * (x >> kPrecision) + (x & mask) - start;
+  if (x < kRansL) {
+    x = (x << 32) | **pptr;
+    *pptr += 1;
+  }
+}
+
+inline uint32_t dec_get_bits(uint64_t &x, uint32_t **pptr, uint32_t nbits) {
+  uint32_t val = x & ((1u << nbits) - 1);
+  x >>= nbits;
+  if (x < kRansL) {
+    x = (x << 32) | **pptr;
+    *pptr += 1;
+  }
+  return val;
+}
+
+// --- buffered encoder -------------------------------------------------------
+
+struct Encoder {
+  std::vector<RansSymbol> syms;
+};
+
+void buffer_symbols(Encoder *enc, const int32_t *symbols, const int32_t *indexes,
+                    int64_t n, const int32_t *cdfs, int32_t cdf_stride,
+                    const int32_t *cdf_lengths, const int32_t *offsets) {
+  enc->syms.reserve(enc->syms.size() + static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t cdf_idx = indexes[i];
+    const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+    const int32_t max_value = cdf_lengths[cdf_idx] - 2;
+
+    int32_t value = symbols[i] - offsets[cdf_idx];
+    uint64_t raw_val = 0;  // 64-bit: shift arithmetic stays defined for any int32
+    if (value < 0) {
+      raw_val = 2ull * static_cast<uint64_t>(-static_cast<int64_t>(value)) - 1;
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = 2ull * static_cast<uint64_t>(value - max_value);
+      value = max_value;
+    }
+
+    enc->syms.push_back({static_cast<uint16_t>(cdf[value]),
+                         static_cast<uint16_t>(cdf[value + 1] - cdf[value]),
+                         false});
+
+    if (value == max_value) {
+      // escape: emit raw_val in 4-bit chunks, preceded by the chunk count
+      int32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+
+      int32_t val = n_bypass;
+      while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+        enc->syms.push_back({static_cast<uint16_t>(kMaxBypassVal),
+                             static_cast<uint16_t>(kMaxBypassVal + 1), true});
+        val -= kMaxBypassVal;
+      }
+      enc->syms.push_back(
+          {static_cast<uint16_t>(val), static_cast<uint16_t>(val + 1), true});
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        const uint32_t v = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
+        enc->syms.push_back(
+            {static_cast<uint16_t>(v), static_cast<uint16_t>(v + 1), true});
+      }
+    }
+  }
+}
+
+int64_t flush_encoder(Encoder *enc, uint8_t *out, int64_t capacity) {
+  // LIFO: encode buffered symbols in reverse, stream written backwards.
+  const size_t n = enc->syms.size();
+  std::vector<uint32_t> buf(n + 2, 0xCCCCCCCCu);
+  uint32_t *ptr = buf.data() + buf.size();
+
+  uint64_t x = kRansL;
+  for (size_t k = n; k-- > 0;) {
+    const RansSymbol s = enc->syms[k];
+    if (!s.bypass) {
+      enc_put(x, &ptr, s.start, s.range);
+    } else {
+      enc_put_bits(x, &ptr, s.start, kBypassPrecision);
+    }
+  }
+  enc_flush(x, &ptr);
+
+  const int64_t nbytes =
+      (buf.data() + buf.size() - ptr) * static_cast<int64_t>(sizeof(uint32_t));
+  if (nbytes > capacity) return -nbytes;  // caller retries with a larger buffer
+  std::memcpy(out, ptr, nbytes);
+  enc->syms.clear();
+  return nbytes;
+}
+
+// --- streaming decoder ------------------------------------------------------
+
+struct Decoder {
+  std::string stream;
+  uint32_t *ptr = nullptr;
+  uint64_t state = 0;
+};
+
+inline int32_t find_symbol(const int32_t *cdf, int32_t cdf_len, uint32_t cum_freq) {
+  // smallest s with cdf[s+1] > cum_freq; cdf[0]=0, cdf[len-1]=2^16, increasing
+  int32_t lo = 0, hi = cdf_len - 1;  // invariant: cdf[lo] <= cum < cdf[hi]
+  while (hi - lo > 1) {
+    const int32_t mid = (lo + hi) >> 1;
+    if (static_cast<uint32_t>(cdf[mid]) <= cum_freq)
+      lo = mid;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+void decode_symbols(Decoder *dec, const int32_t *indexes, int64_t n,
+                    const int32_t *cdfs, int32_t cdf_stride,
+                    const int32_t *cdf_lengths, const int32_t *offsets,
+                    int32_t *out) {
+  uint64_t x = dec->state;
+  uint32_t *ptr = dec->ptr;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t cdf_idx = indexes[i];
+    const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[cdf_idx];
+    const int32_t max_value = cdf_len - 2;
+
+    const uint32_t cum_freq = dec_get(x);
+    const int32_t s = find_symbol(cdf, cdf_len, cum_freq);
+    dec_advance(x, &ptr, cdf[s], cdf[s + 1] - cdf[s]);
+
+    int32_t value = s;
+    if (value == max_value) {
+      // escape: read chunk count then the raw value, 4 bits at a time
+      uint32_t val = dec_get_bits(x, &ptr, kBypassPrecision);
+      int32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec_get_bits(x, &ptr, kBypassPrecision);
+        n_bypass += val;
+      }
+      uint64_t raw_val = 0;
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= static_cast<uint64_t>(dec_get_bits(x, &ptr, kBypassPrecision))
+                   << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = value + offsets[cdf_idx];
+  }
+  dec->state = x;
+  dec->ptr = ptr;
+}
+
+}  // namespace
+
+// --- C ABI ------------------------------------------------------------------
+
+extern "C" {
+
+void *rans_encoder_new() { return new Encoder(); }
+void rans_encoder_free(void *enc) { delete static_cast<Encoder *>(enc); }
+
+void rans_encoder_buffer(void *enc, const int32_t *symbols, const int32_t *indexes,
+                         int64_t n, const int32_t *cdfs, int32_t cdf_stride,
+                         const int32_t *cdf_lengths, const int32_t *offsets) {
+  buffer_symbols(static_cast<Encoder *>(enc), symbols, indexes, n, cdfs,
+                 cdf_stride, cdf_lengths, offsets);
+}
+
+// Returns bytes written, or -needed if capacity was insufficient.
+int64_t rans_encoder_flush(void *enc, uint8_t *out, int64_t capacity) {
+  return flush_encoder(static_cast<Encoder *>(enc), out, capacity);
+}
+
+void *rans_decoder_new(const uint8_t *data, int64_t nbytes) {
+  auto *dec = new Decoder();
+  dec->stream.assign(reinterpret_cast<const char *>(data), nbytes);
+  dec->ptr = reinterpret_cast<uint32_t *>(dec->stream.data());
+  dec_init(dec->state, &dec->ptr);
+  return dec;
+}
+
+void rans_decoder_free(void *dec) { delete static_cast<Decoder *>(dec); }
+
+void rans_decoder_decode(void *dec, const int32_t *indexes, int64_t n,
+                         const int32_t *cdfs, int32_t cdf_stride,
+                         const int32_t *cdf_lengths, const int32_t *offsets,
+                         int32_t *out) {
+  decode_symbols(static_cast<Decoder *>(dec), indexes, n, cdfs, cdf_stride,
+                 cdf_lengths, offsets, out);
+}
+
+// pmf [n] float32 -> cdf [n+1] int32 summing to 2^precision.
+// Mirrors reference cpp_exts/ops/ops.cpp:24-81 (frequency stealing).
+int32_t pmf_to_quantized_cdf(const float *pmf, int32_t n, int32_t precision,
+                             int32_t *cdf_out) {
+  std::vector<uint32_t> cdf(n + 1);
+  cdf[0] = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    cdf[i + 1] =
+        static_cast<uint32_t>(std::lround(static_cast<double>(pmf[i]) * (1 << precision)));
+  }
+  uint64_t total = 0;
+  for (auto v : cdf) total += v;
+  if (total == 0) return -1;
+  for (auto &v : cdf) {
+    v = static_cast<uint32_t>((static_cast<uint64_t>(1 << precision) * v) / total);
+  }
+  for (int32_t i = 1; i <= n; ++i) cdf[i] += cdf[i - 1];
+  cdf[n] = 1u << precision;
+
+  for (int32_t i = 0; i < n; ++i) {
+    if (cdf[i] == cdf[i + 1]) {
+      uint32_t best_freq = ~0u;
+      int32_t best_steal = -1;
+      for (int32_t j = 0; j < n; ++j) {
+        const uint32_t freq = cdf[j + 1] - cdf[j];
+        if (freq > 1 && freq < best_freq) {
+          best_freq = freq;
+          best_steal = j;
+        }
+      }
+      if (best_steal == -1) return -2;
+      if (best_steal < i) {
+        for (int32_t j = best_steal + 1; j <= i; ++j) cdf[j]--;
+      } else {
+        for (int32_t j = i + 1; j <= best_steal; ++j) cdf[j]++;
+      }
+    }
+  }
+
+  for (int32_t i = 0; i <= n; ++i) cdf_out[i] = static_cast<int32_t>(cdf[i]);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,184 @@
+"""ctypes bridge to the C rANS coder (librans.so), batched array API.
+
+Unlike the reference's per-element ``.tolist()`` crossings
+(entropy_models.py:195-226, utils/ckbd.py:83-125), every call here moves one
+contiguous int32 numpy array across the boundary, so a whole checkerboard
+phase (or a whole latent) is one C call.
+
+The shared library is compiled on first import (g++ -O3) and cached next to
+the source; set RGBDC_RANS_NO_BUILD=1 to forbid compilation (CI images that
+prebuild it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..entropy.tables import CdfTable
+
+_SRC = Path(__file__).parent / "csrc" / "rans.cpp"
+_LIB_PATH = Path(__file__).parent / "csrc" / "librans.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def _build_library() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-march=native",
+        str(_SRC),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if os.environ.get("RGBDC_RANS_NO_BUILD"):
+                raise RuntimeError(f"librans.so missing at {_LIB_PATH}")
+            _build_library()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+
+        lib.rans_encoder_new.restype = ctypes.c_void_p
+        lib.rans_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.rans_encoder_buffer.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
+        ]
+        lib.rans_encoder_flush.restype = ctypes.c_int64
+        lib.rans_encoder_flush.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+
+        lib.rans_decoder_new.restype = ctypes.c_void_p
+        lib.rans_decoder_new.argtypes = [u8p, ctypes.c_int64]
+        lib.rans_decoder_free.argtypes = [ctypes.c_void_p]
+        lib.rans_decoder_decode.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p, i32p,
+        ]
+
+        lib.pmf_to_quantized_cdf.restype = ctypes.c_int32
+        lib.pmf_to_quantized_cdf.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, i32p]
+
+        _lib = lib
+        return _lib
+
+
+def _i32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_contig_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a).reshape(-1), dtype=np.int32)
+
+
+class RansEncoder:
+    """Buffered LIFO rANS encoder (semantics of the reference
+    BufferedRansEncoder, rans_interface.cpp:119-192)."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._enc = self._lib.rans_encoder_new()
+
+    def __del__(self):
+        if getattr(self, "_enc", None):
+            self._lib.rans_encoder_free(self._enc)
+            self._enc = None
+
+    def buffer(self, symbols, indexes, table: CdfTable) -> None:
+        symbols = _as_contig_i32(symbols)
+        indexes = _as_contig_i32(indexes)
+        assert symbols.shape == indexes.shape
+        self._lib.rans_encoder_buffer(
+            self._enc,
+            _i32(symbols),
+            _i32(indexes),
+            symbols.size,
+            _i32(table.cdf),
+            table.cdf.shape[1],
+            _i32(table.cdf_length),
+            _i32(table.offset),
+        )
+
+    def flush(self) -> bytes:
+        capacity = 1 << 16
+        while True:
+            out = np.empty(capacity, dtype=np.uint8)
+            n = self._lib.rans_encoder_flush(
+                self._enc, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity
+            )
+            if n >= 0:
+                return out[:n].tobytes()
+            capacity = -n
+
+
+class RansDecoder:
+    """Streaming rANS decoder over one bitstream; each ``decode`` call pops
+    ``len(indexes)`` symbols (reference RansDecoder.decode_stream)."""
+
+    def __init__(self, data: bytes):
+        self._lib = _load()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        self._buf = np.ascontiguousarray(buf)  # keep alive; C copies anyway
+        self._dec = self._lib.rans_decoder_new(
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), self._buf.size
+        )
+
+    def __del__(self):
+        if getattr(self, "_dec", None):
+            self._lib.rans_decoder_free(self._dec)
+            self._dec = None
+
+    def decode(self, indexes, table: CdfTable) -> np.ndarray:
+        shape = np.asarray(indexes).shape
+        indexes = _as_contig_i32(indexes)
+        out = np.empty(indexes.size, dtype=np.int32)
+        self._lib.rans_decoder_decode(
+            self._dec,
+            _i32(indexes),
+            indexes.size,
+            _i32(table.cdf),
+            table.cdf.shape[1],
+            _i32(table.cdf_length),
+            _i32(table.offset),
+            _i32(out),
+        )
+        return out.reshape(shape)
+
+
+def encode_with_tables(symbols, indexes, table: CdfTable) -> bytes:
+    """One-shot encode (reference RansEncoder.encode_with_indexes)."""
+    enc = RansEncoder()
+    enc.buffer(symbols, indexes, table)
+    return enc.flush()
+
+
+def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
+    """C implementation; exact mirror of entropy.tables.pmf_to_quantized_cdf_py."""
+    lib = _load()
+    pmf = np.ascontiguousarray(pmf, dtype=np.float32)
+    out = np.empty(pmf.size + 1, dtype=np.int32)
+    rc = lib.pmf_to_quantized_cdf(
+        pmf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pmf.size, precision, _i32(out)
+    )
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf failed with code {rc}")
+    return out

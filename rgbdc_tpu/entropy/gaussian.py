@@ -1,0 +1,86 @@
+"""Conditional Gaussian entropy model — pure functions, no parameters.
+
+Behavioral spec from the reference GaussianConditional
+(CompressAI/compressai/entropy_models/entropy_models.py:450-568):
+
+  likelihood(y; sigma, mu) = Phi((|y-mu|+.5)/sigma') - Phi((|y-mu|-.5)/sigma')
+  with sigma' = max(sigma, scale_bound) via the pass-through lower bound,
+  computed through erfc for numerical headroom, and floored at 1e-9.
+
+``build_indexes`` maps each sigma to the index of the smallest scale-table
+entry >= sigma (reference entropy_models.py:561-568), as one vectorized
+searchsorted instead of a python loop over the table.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.math import lower_bound
+
+SCALE_BOUND = 0.11
+LIKELIHOOD_BOUND = 1e-9
+SCALES_MIN = 0.11
+SCALES_MAX = 256.0
+SCALES_LEVELS = 64
+
+
+def get_scale_table(
+    minimum: float = SCALES_MIN, maximum: float = SCALES_MAX, levels: int = SCALES_LEVELS
+) -> np.ndarray:
+    """64 log-spaced sigmas in [0.11, 256] (reference utils/moduleFunc.py:11-12)."""
+    return np.exp(np.linspace(math.log(minimum), math.log(maximum), levels))
+
+
+def _std_cumulative(x: jax.Array) -> jax.Array:
+    """Standard normal CDF via erfc (max numerical precision in the tails)."""
+    return 0.5 * jax.lax.erfc(-(2**-0.5) * x)
+
+
+def gaussian_likelihood(
+    inputs: jax.Array,
+    scales: jax.Array,
+    means: jax.Array | None = None,
+    scale_bound: float = SCALE_BOUND,
+    likelihood_bound: float = LIKELIHOOD_BOUND,
+) -> jax.Array:
+    """P(round(y) = y_hat) under N(means, scales^2), elementwise."""
+    values = inputs if means is None else inputs - means
+    scales = lower_bound(scales, scale_bound)
+    values = jnp.abs(values)
+    upper = _std_cumulative((0.5 - values) / scales)
+    lower = _std_cumulative((-0.5 - values) / scales)
+    likelihood = upper - lower
+    if likelihood_bound > 0:
+        likelihood = lower_bound(likelihood, likelihood_bound)
+    return likelihood
+
+
+def gaussian_forward(
+    inputs: jax.Array,
+    scales: jax.Array,
+    means: jax.Array | None,
+    training: bool,
+    noise_rng: jax.Array | None = None,
+):
+    """(y_hat, likelihoods): additive-noise proxy in training, round at eval."""
+    if training:
+        noise = jax.random.uniform(noise_rng, inputs.shape, minval=-0.5, maxval=0.5)
+        outputs = inputs + noise
+    else:
+        if means is None:
+            outputs = jnp.round(inputs)
+        else:
+            outputs = jnp.round(inputs - means) + means
+    return outputs, gaussian_likelihood(outputs, scales, means)
+
+
+def build_indexes(
+    scales: jax.Array, scale_table: np.ndarray, scale_bound: float = SCALE_BOUND
+) -> jax.Array:
+    """Index of the smallest table entry >= sigma, int32, same shape as scales."""
+    table = jnp.asarray(scale_table[:-1], dtype=scales.dtype)
+    scales = jnp.maximum(scales, scale_bound)
+    return jnp.searchsorted(table, scales, side="left").astype(jnp.int32)
