@@ -1,0 +1,23 @@
+"""Codec zoo + registry.
+
+Reference registry (models/__init__.py:11-20) maps model-name substrings to
+classes, ordered so the longest match wins. Same contract here.
+"""
+
+from .elic import ELIC
+from .codec import CodecTables, ElicCodec
+
+# ordered: longest/most-specific substring first (reference models/__init__.py:10)
+modelZoo = {
+    "ELIC": ELIC,
+}
+
+
+def get_model_cls(name: str):
+    for key, cls in modelZoo.items():
+        if key in name:
+            return cls
+    raise KeyError(f"no model matching '{name}' (zoo: {list(modelZoo)})")
+
+
+__all__ = ["ELIC", "ElicCodec", "CodecTables", "modelZoo", "get_model_cls"]

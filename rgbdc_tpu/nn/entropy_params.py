@@ -1,0 +1,47 @@
+"""Entropy-parameter fusion heads -> (scales, means).
+
+  - EntropyParameters (reference modules/transform/entropy.py:7-29):
+    3x 1x1 conv funnel in -> out*5/3 -> out*4/3 -> out.
+  - EntropyParametersEX (:56-78): SE residual gate on the input, then
+    1x1 (in/6) -> 3x3 (out*4/3) -> 5x5 (out).
+"""
+
+from collections.abc import Callable
+
+import flax.linen as nn
+import jax
+
+from .attention import SEBlock
+
+Act = Callable[[jax.Array], jax.Array]
+
+
+class EntropyParameters(nn.Module):
+    out_dim: int
+    act: Act = jax.nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.out_dim
+        x = nn.Conv(out * 5 // 3, (1, 1))(x)
+        x = self.act(x)
+        x = nn.Conv(out * 4 // 3, (1, 1))(x)
+        x = self.act(x)
+        x = nn.Conv(out, (1, 1))(x)
+        return x
+
+
+class EntropyParametersEX(nn.Module):
+    out_dim: int
+    act: Act = jax.nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        x = x + SEBlock(in_dim)(x)
+        x = nn.Conv(in_dim // 6, (1, 1))(x)
+        x = self.act(x)
+        x = nn.Conv(self.out_dim * 4 // 3, (3, 3), padding="SAME")(x)
+        x = self.act(x)
+        x = nn.Conv(self.out_dim, (5, 5), padding="SAME")(x)
+        return x

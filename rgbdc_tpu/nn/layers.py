@@ -1,0 +1,156 @@
+"""Basic conv blocks, NHWC/flax.
+
+Architecture spec (layer graph, channel plan) follows the reference's
+modules/layers/{conv.py,res_blk.py} and CompressAI layers
+(compressai/layers/layers.py:162-213), re-expressed channels-last.  Strided
+convs use SAME padding (XLA-native) instead of torch's symmetric padding —
+weights are not ported, so only the stride-2 down/up factor matters.
+"""
+
+from collections.abc import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.gdn import GDN
+
+Act = Callable[[jax.Array], jax.Array]
+
+
+def conv(features: int, kernel: int = 5, stride: int = 2) -> nn.Conv:
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride), padding="SAME")
+
+
+def conv1x1(features: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride))
+
+
+def conv3x3(features: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding="SAME")
+
+
+def deconv(features: int, kernel: int = 5, stride: int = 2) -> nn.ConvTranspose:
+    return nn.ConvTranspose(
+        features, (kernel, kernel), strides=(stride, stride), padding="SAME"
+    )
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv + depth-to-space upsampling (PixelShuffle equivalent)."""
+
+    features: int
+    r: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features * self.r**2, (3, 3), padding="SAME")(x)
+        b, h, w, c = x.shape
+        r = self.r
+        x = x.reshape(b, h, w, r, r, c // (r * r))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * r, w * r, c // (r * r))
+
+
+def subpel_conv3x3(features: int, r: int = 1) -> SubpelConv3x3:
+    return SubpelConv3x3(features=features, r=r)
+
+
+class ResidualBottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with residual (reference res_blk.py:7-27)."""
+
+    features: int
+    out: int | None = None
+    act: Act = jax.nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+        out_ch = n if self.out is None else self.out
+        h = conv1x1(n // 2)(x)
+        h = self.act(h)
+        h = conv3x3(n // 2)(h)
+        h = self.act(h)
+        h = conv1x1(out_ch)(h)
+        skip = x if x.shape[-1] == out_ch else conv1x1(out_ch)(x)
+        return h + skip
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs with ReLU and residual (reference res_blk.py:30-57)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = conv3x3(self.features)(x)
+        h = jax.nn.relu(h)
+        h = conv3x3(self.features)(h)
+        h = jax.nn.relu(h)
+        skip = x if x.shape[-1] == self.features else conv1x1(self.features)(x)
+        return h + skip
+
+
+class ResidualBlockWithStride(nn.Module):
+    """Stride-2 residual block with GDN (reference res_blk.py:60-91)."""
+
+    features: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = conv3x3(self.features, stride=self.stride)(x)
+        h = jax.nn.gelu(h)
+        h = conv3x3(self.features)(h)
+        h = GDN(channels=self.features)(h)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = conv1x1(self.features, stride=self.stride)(x)
+        return h + x
+
+
+class ResidualBlockUpsample(nn.Module):
+    """Subpixel-upsample residual block with IGDN (reference res_blk.py:94-119)."""
+
+    features: int
+    upsample: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        h = SubpelConv3x3(self.features, self.upsample)(x)
+        h = jax.nn.gelu(h)
+        h = conv3x3(self.features)(h)
+        h = GDN(channels=self.features, inverse=True)(h)
+        skip = SubpelConv3x3(self.features, self.upsample)(x)
+        return h + skip
+
+
+class _ResidualUnit(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+        h = conv1x1(n // 2)(x)
+        h = jax.nn.relu(h)
+        h = conv3x3(n // 2)(h)
+        h = jax.nn.relu(h)
+        h = conv1x1(n)(h)
+        return jax.nn.relu(h + x)
+
+
+class AttentionBlock(nn.Module):
+    """Cheng2020 simplified attention gate (compressai layers.py:162-213):
+    trunk of 3 residual units gated by sigmoid of a parallel branch."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = x
+        for _ in range(3):
+            a = _ResidualUnit(self.features)(a)
+        b = x
+        for _ in range(3):
+            b = _ResidualUnit(self.features)(b)
+        b = conv1x1(self.features)(b)
+        return x + a * jax.nn.sigmoid(b)
