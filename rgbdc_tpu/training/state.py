@@ -1,0 +1,76 @@
+"""Train state + jittable train/eval steps (DP-ready).
+
+The reference's per-batch procedure (training/trainer_single.py:37-64):
+RD forward/backward, grad-clip 1.0, main Adam step, then aux loss
+backward + aux Adam step.  Here it is ONE jitted function: combined
+RD + aux gradient (exact — see optimizers.py), dual-routed optimizer,
+metrics out.  Under a batch-sharded input the same jit runs data-parallel;
+XLA inserts the psum over ICI.
+"""
+
+from collections.abc import Callable
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(model, rng, example_batch, tx) -> TrainState:
+    """example_batch: tuple of model inputs (x,) or (rgb, depth)."""
+    params_rng, noise_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "noise": noise_rng}, *example_batch, training=True
+    )
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def make_train_step(model, loss_fn: Callable, donate: bool = True):
+    """loss_fn(output, *batch) -> dict with 'loss'.
+
+    Returns step(state, batch, rng) -> (state, metrics dict).
+    """
+
+    def step(state: TrainState, batch, rng):
+        def total_loss(params):
+            out = model.apply(
+                {"params": params}, *batch, training=True, rngs={"noise": rng}
+            )
+            rd = loss_fn(out, *batch)
+            aux = model.apply({"params": params}, method=type(model).aux_loss)
+            return rd["loss"] + aux, (rd, aux)
+
+        (_, (rd, aux)), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        metrics = {k: v for k, v in rd.items()}
+        metrics["aux_loss"] = aux
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Callable):
+    def step(params, batch):
+        out = model.apply({"params": params}, *batch, training=False)
+        rd = loss_fn(out, *batch)
+        return rd, out
+
+    return jax.jit(step)
+
+
+# convenience aliases used by tests / entry points
+def train_step(state, batch, rng, *, model, loss_fn):
+    return make_train_step(model, loss_fn, donate=False)(state, batch, rng)
+
+
+def eval_step(params, batch, *, model, loss_fn):
+    return make_eval_step(model, loss_fn)(params, batch)
