@@ -5,10 +5,12 @@ classes, ordered so the longest match wins. Same contract here.
 """
 
 from .elic import ELIC
-from .codec import CodecTables, ElicCodec
+from .elic_united import ELICUnited
+from .codec import CodecTables, ElicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
+    "ELIC_united": ELICUnited,
     "ELIC": ELIC,
 }
 
@@ -20,4 +22,12 @@ def get_model_cls(name: str):
     raise KeyError(f"no model matching '{name}' (zoo: {list(modelZoo)})")
 
 
-__all__ = ["ELIC", "ElicCodec", "CodecTables", "modelZoo", "get_model_cls"]
+__all__ = [
+    "ELIC",
+    "ELICUnited",
+    "ElicCodec",
+    "UnitedCodec",
+    "CodecTables",
+    "modelZoo",
+    "get_model_cls",
+]

@@ -197,3 +197,195 @@ class ElicCodec:
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         x_hat = self._synth(self.variables, y_hat)
         return {"x_hat": x_hat, "y_hat": y_hat}
+
+
+class UnitedCodec:
+    """compress()/decompress() for the Bi-CEE 4-group joint RGB-D codecs
+    (ELIC_united family). Two bitstream pairs per image: (rgb_y, rgb_z) and
+    (depth_y, depth_z), matching the reference's paired-file output
+    (testing/tester_united.py:141-195)."""
+
+    EB_NAMES = ("rgb_entropy_bottleneck", "depth_entropy_bottleneck")
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        self.model = model
+        self.variables = variables
+        self.tables = (
+            tables
+            if tables is not None
+            else CodecTables.build(variables, eb_names=self.EB_NAMES)
+        )
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        mt = type(model)
+        n_slices = len(model.slice_ch)
+
+        self._encode_front = jax.jit(
+            lambda v, r, d: model.apply(v, r, d, method=mt.encode_front)
+        )
+        self._hyper = jax.jit(
+            lambda v, rz, dz: model.apply(v, rz, dz, method=mt.hyper_decode)
+        )
+
+        def _mk(meth, i):
+            return jax.jit(
+                partial(
+                    lambda v, *args, idx: model.apply(v, idx, *args, st, method=meth),
+                    idx=i,
+                )
+            )
+
+        self._s1 = {i: _mk(mt.stage_rgb_anchor, i) for i in range(n_slices)}
+        self._s2 = {i: _mk(mt.stage_depth_anchor, i) for i in range(n_slices)}
+        self._s3 = {i: _mk(mt.stage_rgb_nonanchor, i) for i in range(n_slices)}
+        self._s4 = {i: _mk(mt.stage_depth_nonanchor, i) for i in range(n_slices)}
+        self._sym_a = {
+            i: jax.jit(
+                partial(
+                    lambda v, y, mn, idx: model.apply(
+                        v, idx, y, mn, method=mt.anchor_symbols
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(n_slices)
+        }
+        self._sym_na = {
+            i: jax.jit(
+                partial(
+                    lambda v, y, mn, idx: model.apply(
+                        v, idx, y, mn, method=mt.nonanchor_symbols
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(n_slices)
+        }
+        self._merge_d = jax.jit(
+            lambda v, a, s, m: model.apply(v, a, s, m, method=mt.merge_depth_slice)
+        )
+        self._synth = jax.jit(
+            lambda v, ry, dy: model.apply(v, ry, dy, method=mt.synthesize)
+        )
+
+    def compress(self, rgb, depth) -> dict:
+        v = self.variables
+        rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
+        rgb_hyper, depth_hyper = self._hyper(v, rz_sym, dz_sym)
+
+        r_groups, d_groups = [], []
+        r_prev, d_prev = [], []
+        for i in range(len(self.model.slice_ch)):
+            idx1, r_mn_a, init = self._s1[i](
+                v, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper
+            )
+            r_sym_a = self._sym_a[i](v, rgb_y, r_mn_a)
+            idx2, d_mn_a, r_anchor_hat, r_local = self._s2[i](
+                v, r_sym_a, r_mn_a, init
+            )
+            d_sym_a = self._sym_a[i](v, depth_y, d_mn_a)
+            idx3, r_mn_na, d_anchor_hat, d_local = self._s3[i](
+                v, d_sym_a, d_mn_a, r_local, init
+            )
+            r_sym_na = self._sym_na[i](v, rgb_y, r_mn_na)
+            idx4, d_mn_na, r_hat_slice = self._s4[i](
+                v, r_anchor_hat, r_sym_na, r_mn_na, d_local, init
+            )
+            d_sym_na = self._sym_na[i](v, depth_y, d_mn_na)
+            d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
+            r_prev.append(r_hat_slice)
+            d_prev.append(d_hat_slice)
+            r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
+            d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
+
+        rz_sym = np.asarray(rz_sym)
+        dz_sym = np.asarray(dz_sym)
+        r_groups = [(np.asarray(s), np.asarray(i)) for s, i in r_groups]
+        d_groups = [(np.asarray(s), np.asarray(i)) for s, i in d_groups]
+
+        b = rz_sym.shape[0]
+        z_idx = eb_channel_indexes(rz_sym.shape)
+        r_strings, d_strings = [], []
+        for n in range(b):
+            enc_ry = RansEncoder()
+            for sym, idx in r_groups:
+                enc_ry.buffer(sym[n], idx[n], self.tables.gc)
+            enc_rz = RansEncoder()
+            enc_rz.buffer(rz_sym[n], z_idx[n], self.tables.eb["rgb_entropy_bottleneck"])
+            r_strings.append([enc_ry.flush(), enc_rz.flush()])
+
+            enc_dy = RansEncoder()
+            for sym, idx in d_groups:
+                enc_dy.buffer(sym[n], idx[n], self.tables.gc)
+            enc_dz = RansEncoder()
+            enc_dz.buffer(
+                dz_sym[n], z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
+            )
+            d_strings.append([enc_dy.flush(), enc_dz.flush()])
+
+        return {
+            "r_strings": r_strings,
+            "d_strings": d_strings,
+            "shape": (rz_sym.shape[1], rz_sym.shape[2]),
+        }
+
+    def decompress(self, r_strings, d_strings, shape) -> dict:
+        v = self.variables
+        b = len(r_strings)
+        zh, zw = shape
+        c = self.model.N
+        z_idx = eb_channel_indexes((b, zh, zw, c))
+        rz_sym = np.stack(
+            [
+                RansDecoder(r_strings[n][1]).decode(
+                    z_idx[n], self.tables.eb["rgb_entropy_bottleneck"]
+                )
+                for n in range(b)
+            ]
+        )
+        dz_sym = np.stack(
+            [
+                RansDecoder(d_strings[n][1]).decode(
+                    z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
+                )
+                for n in range(b)
+            ]
+        )
+        rgb_hyper, depth_hyper = self._hyper(
+            v, jnp.asarray(rz_sym), jnp.asarray(dz_sym)
+        )
+
+        r_dec = [RansDecoder(r_strings[n][0]) for n in range(b)]
+        d_dec = [RansDecoder(d_strings[n][0]) for n in range(b)]
+
+        def _pull(decs, idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(
+                np.stack([decs[n].decode(idx_np[n], self.tables.gc) for n in range(b)])
+            )
+
+        r_prev, d_prev = [], []
+        for i in range(len(self.model.slice_ch)):
+            idx1, r_mn_a, init = self._s1[i](
+                v, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper
+            )
+            r_sym_a = _pull(r_dec, idx1)
+            idx2, d_mn_a, r_anchor_hat, r_local = self._s2[i](
+                v, r_sym_a, r_mn_a, init
+            )
+            d_sym_a = _pull(d_dec, idx2)
+            idx3, r_mn_na, d_anchor_hat, d_local = self._s3[i](
+                v, d_sym_a, d_mn_a, r_local, init
+            )
+            r_sym_na = _pull(r_dec, idx3)
+            idx4, d_mn_na, r_hat_slice = self._s4[i](
+                v, r_anchor_hat, r_sym_na, r_mn_na, d_local, init
+            )
+            d_sym_na = _pull(d_dec, idx4)
+            d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
+            r_prev.append(r_hat_slice)
+            d_prev.append(d_hat_slice)
+
+        rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
+        depth_y_hat = jnp.concatenate(d_prev, axis=-1)
+        rgb_hat, depth_hat = self._synth(v, rgb_y_hat, depth_y_hat)
+        return {"x_hat": {"r": rgb_hat, "d": depth_hat}}
