@@ -5,11 +5,12 @@ classes, ordered so the longest match wins. Same contract here.
 """
 
 from .elic import ELIC
-from .elic_united import ELICUnited
+from .elic_united import ELICUnited, ELICUnitedR2D
 from .codec import CodecTables, ElicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
+    "ELIC_united_R2D": ELICUnitedR2D,
     "ELIC_united": ELICUnited,
     "ELIC": ELIC,
 }

@@ -29,12 +29,15 @@ import jax.numpy as jnp
 from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
 from ..nn import (
     AnalysisTransformEXcross,
+    AnalysisTransformEXSingle,
     ChannelContextEX,
     EntropyParametersEX,
     HyperAnalysisEXcross,
     HyperSynthesisEXcross,
+    HyperSynthesisEXSingle,
     LocalContext5x5,
     SynthesisTransformEXcross,
+    SynthesisTransformEXSingle,
 )
 from ..ops import (
     ckbd_anchor,
@@ -48,19 +51,31 @@ from ..ops import (
 
 
 class ELICUnited(nn.Module):
+    """one_way=False: bidirectional Bi-CPT/Bi-CEE (the paper's model).
+    one_way=True: the ICIP'22 R2D variant (models/elic_united_R2D.py:9-326) —
+    RGB's transforms and entropy contexts never see depth; depth conditions
+    on RGB everywhere."""
+
     N: int = 192
     M: int = 320
     slice_ch: Sequence[int] = (16, 16, 32, 64, 192)
     quant: str = "ste"
+    one_way: bool = False
 
     def setup(self):
         n, m = self.N, self.M
         sch = tuple(self.slice_ch)
         ns = len(sch)
-        self.g_a = AnalysisTransformEXcross(n, m)
-        self.g_s = SynthesisTransformEXcross(n, m)
-        self.h_a = HyperAnalysisEXcross(n, m)
-        self.h_s = HyperSynthesisEXcross(n, m)
+        if self.one_way:
+            self.g_a = AnalysisTransformEXSingle(n, m)
+            self.g_s = SynthesisTransformEXSingle(n, m)
+            self.h_a = HyperAnalysisEXcross(n, m)
+            self.h_s = HyperSynthesisEXSingle(n, m)
+        else:
+            self.g_a = AnalysisTransformEXcross(n, m)
+            self.g_s = SynthesisTransformEXcross(n, m)
+            self.h_a = HyperAnalysisEXcross(n, m)
+            self.h_s = HyperSynthesisEXcross(n, m)
 
         self.rgb_local_context = [LocalContext5x5(2 * c) for c in sch]
         self.rgb_local_context_full = [LocalContext5x5(2 * c) for c in sch]
@@ -106,13 +121,29 @@ class ELICUnited(nn.Module):
         return jnp.round(v - means) + means
 
     def _init_context(self, idx, rgb_prev, depth_prev, rgb_hyper, depth_hyper):
-        """[rgb_hyper, depth_hyper (, rgb_cc, depth_cc)] — the base context
-        every group of this slice conditions on."""
-        ctx = [rgb_hyper, depth_hyper]
+        """Base contexts: (rgb_init, depth_init).  Bidirectional: both are
+        [rgb_hyper, depth_hyper (, rgb_cc, depth_cc)].  One-way (R2D): rgb
+        sees only its own hyper/channel ctx (elic_united_R2D.py:85-92)."""
+        rgb_cc = depth_cc = None
         if idx != 0:
-            ctx.append(self.rgb_channel_context[idx](jnp.concatenate(rgb_prev, -1)))
-            ctx.append(self.depth_channel_context[idx](jnp.concatenate(depth_prev, -1)))
-        return ctx
+            rgb_cc = self.rgb_channel_context[idx](jnp.concatenate(rgb_prev, -1))
+            depth_cc = self.depth_channel_context[idx](jnp.concatenate(depth_prev, -1))
+        if self.one_way:
+            rgb_init = [rgb_hyper] + ([rgb_cc] if rgb_cc is not None else [])
+            depth_init = [rgb_hyper, depth_hyper] + (
+                [rgb_cc, depth_cc] if rgb_cc is not None else []
+            )
+        else:
+            shared = [rgb_hyper, depth_hyper] + (
+                [rgb_cc, depth_cc] if rgb_cc is not None else []
+            )
+            rgb_init = depth_init = shared
+        return rgb_init, depth_init
+
+    def _ctx_rgb_nonanchor(self, r_local, d_local, rgb_init):
+        if self.one_way:
+            return [r_local] + rgb_init
+        return [r_local, d_local] + rgb_init
 
     @staticmethod
     def _params(module, ctx_list):
@@ -142,12 +173,12 @@ class ELICUnited(nn.Module):
         for idx, (r_slice, d_slice) in enumerate(
             zip(self._slices(rgb_y), self._slices(depth_y))
         ):
-            init = self._init_context(
+            rgb_init, depth_init = self._init_context(
                 idx, rgb_hat_slices, depth_hat_slices, rgb_hyper, depth_hyper
             )
 
             # group 1: rgb anchor
-            r_sc_a, r_mn_a = self._params(self.rgb_ep_anchor[idx], init)
+            r_sc_a, r_mn_a = self._params(self.rgb_ep_anchor[idx], rgb_init)
             r_sc_a, r_mn_a = ckbd_anchor(r_sc_a), ckbd_anchor(r_mn_a)
             r_anchor = ckbd_anchor(
                 self._quant(ckbd_anchor(r_slice), r_mn_a, training)
@@ -155,7 +186,9 @@ class ELICUnited(nn.Module):
             r_local = self.rgb_local_context[idx](r_anchor)
 
             # group 2: depth anchor (sees rgb local ctx)
-            d_sc_a, d_mn_a = self._params(self.depth_ep_anchor[idx], [r_local] + init)
+            d_sc_a, d_mn_a = self._params(
+                self.depth_ep_anchor[idx], [r_local] + depth_init
+            )
             d_sc_a, d_mn_a = ckbd_anchor(d_sc_a), ckbd_anchor(d_mn_a)
             d_anchor = ckbd_anchor(
                 self._quant(ckbd_anchor(d_slice), d_mn_a, training)
@@ -164,7 +197,8 @@ class ELICUnited(nn.Module):
 
             # group 3: rgb nonanchor (sees both local ctxs)
             r_sc_na, r_mn_na = self._params(
-                self.rgb_ep_nonanchor[idx], [r_local, d_local] + init
+                self.rgb_ep_nonanchor[idx],
+                self._ctx_rgb_nonanchor(r_local, d_local, rgb_init),
             )
             r_sc_na, r_mn_na = ckbd_nonanchor(r_sc_na), ckbd_nonanchor(r_mn_na)
             r_nonanchor = ckbd_nonanchor(
@@ -175,7 +209,7 @@ class ELICUnited(nn.Module):
 
             # group 4: depth nonanchor (sees full rgb slice ctx + depth local)
             d_sc_na, d_mn_na = self._params(
-                self.depth_ep_nonanchor[idx], [r_local_full, d_local] + init
+                self.depth_ep_nonanchor[idx], [r_local_full, d_local] + depth_init
             )
             d_sc_na, d_mn_na = ckbd_nonanchor(d_sc_na), ckbd_nonanchor(d_mn_na)
             d_nonanchor = ckbd_nonanchor(
@@ -234,21 +268,24 @@ class ELICUnited(nn.Module):
 
     def stage_rgb_anchor(self, idx: int, rgb_prev, depth_prev, rgb_hyper, depth_hyper, scale_table):
         init = self._init_context(idx, list(rgb_prev), list(depth_prev), rgb_hyper, depth_hyper)
-        sc, mn = self._params(self.rgb_ep_anchor[idx], init)
+        sc, mn = self._params(self.rgb_ep_anchor[idx], init[0])
         sc_sq, mn_sq = ckbd_anchor_squeeze(sc), ckbd_anchor_squeeze(mn)
         return build_indexes(sc_sq, scale_table), mn_sq, init
 
     def stage_depth_anchor(self, idx: int, r_sym_a, r_mn_a_sq, init, scale_table):
         r_anchor_hat = ckbd_anchor_unsqueeze(r_sym_a.astype(jnp.float32) + r_mn_a_sq)
         r_local = self.rgb_local_context[idx](r_anchor_hat)
-        sc, mn = self._params(self.depth_ep_anchor[idx], [r_local] + list(init))
+        sc, mn = self._params(self.depth_ep_anchor[idx], [r_local] + list(init[1]))
         sc_sq, mn_sq = ckbd_anchor_squeeze(sc), ckbd_anchor_squeeze(mn)
         return build_indexes(sc_sq, scale_table), mn_sq, r_anchor_hat, r_local
 
     def stage_rgb_nonanchor(self, idx: int, d_sym_a, d_mn_a_sq, r_local, init, scale_table):
         d_anchor_hat = ckbd_anchor_unsqueeze(d_sym_a.astype(jnp.float32) + d_mn_a_sq)
         d_local = self.depth_local_context[idx](d_anchor_hat)
-        sc, mn = self._params(self.rgb_ep_nonanchor[idx], [r_local, d_local] + list(init))
+        sc, mn = self._params(
+            self.rgb_ep_nonanchor[idx],
+            self._ctx_rgb_nonanchor(r_local, d_local, list(init[0])),
+        )
         sc_sq = ckbd_nonanchor_squeeze(sc)
         mn_sq = ckbd_nonanchor_squeeze(mn)
         return build_indexes(sc_sq, scale_table), mn_sq, d_anchor_hat, d_local
@@ -261,7 +298,7 @@ class ELICUnited(nn.Module):
         )
         r_local_full = self.rgb_local_context_full[idx](r_hat_slice)
         sc, mn = self._params(
-            self.depth_ep_nonanchor[idx], [r_local_full, d_local] + list(init)
+            self.depth_ep_nonanchor[idx], [r_local_full, d_local] + list(init[1])
         )
         sc_sq = ckbd_nonanchor_squeeze(sc)
         mn_sq = ckbd_nonanchor_squeeze(mn)
@@ -284,3 +321,11 @@ class ELICUnited(nn.Module):
 
     def synthesize(self, rgb_y_hat, depth_y_hat):
         return self.g_s(rgb_y_hat, depth_y_hat)
+
+
+class ELICUnitedR2D(ELICUnited):
+    """Unidirectional RGB->depth prior transfer (reference
+    models/elic_united_R2D.py): one-way transforms + rgb contexts that
+    exclude depth."""
+
+    one_way: bool = True

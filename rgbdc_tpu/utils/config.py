@@ -50,3 +50,17 @@ def mlic_model_config() -> Config:
             "act": "gelu",
         }
     )
+
+
+def tiny_model_config() -> Config:
+    """Scaled-down config for smoke tests / CI (not a reference setting)."""
+    return Config(
+        {
+            "N": 16,
+            "M": 24,
+            "slice_num": 2,
+            "context_window": 5,
+            "slice_ch": [8, 16],
+            "quant": "ste",
+        }
+    )
