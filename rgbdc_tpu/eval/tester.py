@@ -22,7 +22,7 @@ from ..coder import read_body, read_uints, write_body, write_uints
 from ..data import ImageFolder, ImageFolderUnited
 from ..eval.metrics import AverageMeter, compute_metrics
 from ..eval.padding import crop_to, pad_to_multiple
-from ..models import ElicCodec, UnitedCodec, get_model_cls
+from ..models import ElicCodec, UnitedCodec, build_model
 from ..training.checkpoint import restore_checkpoint
 from ..utils.logger import setup_logger
 
@@ -66,16 +66,8 @@ class Tester:
         self.codec = self.codec_cls(self.model, self.variables)
 
     def build_model(self):
-        cls = get_model_cls(self.args.model)
-        kwargs = dict(
-            N=self.config.N,
-            M=self.config.M,
-            slice_ch=tuple(self.config.slice_ch),
-            quant=self.config.quant,
-        )
-        if self.codec_cls is ElicCodec:
-            kwargs["in_ch"] = self.in_ch
-        return cls(**kwargs)
+        in_ch = self.in_ch if self.codec_cls is ElicCodec else None
+        return build_model(self.args.model, self.config, in_ch=in_ch)
 
     def _example_inputs(self):
         if self.codec_cls is UnitedCodec:

@@ -4,12 +4,16 @@ Reference registry (models/__init__.py:11-20) maps model-name substrings to
 classes, ordered so the longest match wins. Same contract here.
 """
 
+import dataclasses
+
 from .elic import ELIC
 from .elic_united import ELICUnited, ELICUnitedR2D
+from .cheng_ckbd import Cheng2020AnchorCheckerboard
 from .codec import CodecTables, ElicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
+    "ckbd": Cheng2020AnchorCheckerboard,
     "ELIC_united_R2D": ELICUnitedR2D,
     "ELIC_united": ELICUnited,
     "ELIC": ELIC,
@@ -23,12 +27,31 @@ def get_model_cls(name: str):
     raise KeyError(f"no model matching '{name}' (zoo: {list(modelZoo)})")
 
 
+def build_model(name: str, config, in_ch: int | None = None):
+    """Instantiate a zoo model from a config dict, passing only the fields
+    the model's dataclass accepts (models differ: ckbd has no M/slices)."""
+    cls = get_model_cls(name)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key in ("N", "M", "quant"):
+        if key in fields and key in config:
+            kwargs[key] = config[key]
+    if "slice_ch" in fields and "slice_ch" in config:
+        kwargs["slice_ch"] = tuple(config["slice_ch"])
+    if "in_ch" in fields and in_ch is not None:
+        kwargs["in_ch"] = in_ch
+    return cls(**kwargs)
+
+
 __all__ = [
     "ELIC",
     "ELICUnited",
+    "ELICUnitedR2D",
+    "Cheng2020AnchorCheckerboard",
     "ElicCodec",
     "UnitedCodec",
     "CodecTables",
     "modelZoo",
     "get_model_cls",
+    "build_model",
 ]

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..data import DataLoader, SyntheticRGBD, make_train_dataset
 from ..eval.metrics import AverageMeter, compute_metrics
-from ..models import get_model_cls
+from ..models import build_model
 from ..parallel import get_mesh, replicate, shard_batch
 from ..utils.logger import setup_logger
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -242,14 +242,7 @@ class TrainerSingle(Trainer):
         self.metric = getattr(args, "metrics", "mse")
 
     def build_model(self):
-        cls = get_model_cls(self.args.model)
-        return cls(
-            N=self.config.N,
-            M=self.config.M,
-            slice_ch=tuple(self.config.slice_ch),
-            quant=self.config.quant,
-            in_ch=self.channel,
-        )
+        return build_model(self.args.model, self.config, in_ch=self.channel)
 
     def loss_fn(self, output, *batch):
         return rate_distortion_loss_single(output, batch[0], self.lmbda, self.metric)
@@ -267,13 +260,7 @@ class TrainerUnited(Trainer):
         self.warmup_step = getattr(args, "warmup_step", 0)
 
     def build_model(self):
-        cls = get_model_cls(self.args.model)
-        return cls(
-            N=self.config.N,
-            M=self.config.M,
-            slice_ch=tuple(self.config.slice_ch),
-            quant=self.config.quant,
-        )
+        return build_model(self.args.model, self.config)
 
     def loss_fn(self, output, *batch):
         rgb, depth = batch
