@@ -9,7 +9,8 @@ import dataclasses
 from .elic import ELIC
 from .elic_united import ELICUnited, ELICUnitedR2D
 from .cheng_ckbd import Cheng2020AnchorCheckerboard
-from .codec import CodecTables, ElicCodec, UnitedCodec
+from .stf import SymmetricalTransFormer
+from .codec import ChannelARCodec, CodecTables, ElicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
@@ -17,6 +18,7 @@ modelZoo = {
     "ELIC_united_R2D": ELICUnitedR2D,
     "ELIC_united": ELICUnited,
     "ELIC": ELIC,
+    "STF": SymmetricalTransFormer,
 }
 
 
@@ -48,6 +50,8 @@ __all__ = [
     "ELICUnited",
     "ELICUnitedR2D",
     "Cheng2020AnchorCheckerboard",
+    "SymmetricalTransFormer",
+    "ChannelARCodec",
     "ElicCodec",
     "UnitedCodec",
     "CodecTables",

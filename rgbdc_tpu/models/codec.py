@@ -199,6 +199,119 @@ class ElicCodec:
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 
+class ChannelARCodec:
+    """compress()/decompress() for channel-autoregressive codecs with no
+    checkerboard (STF family): one dense rANS group per slice, sequential
+    slice decode conditioned on previously decoded slices."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        self.model = model
+        self.variables = variables
+        self.tables = tables if tables is not None else CodecTables.build(variables)
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        mt = type(model)
+        n_slices = len(model.slice_ch)
+
+        self._encode_front = jax.jit(
+            lambda v, x: model.apply(v, x, method=mt.encode_front)
+        )
+        self._hyper = jax.jit(
+            lambda v, z: model.apply(v, z, method=mt.hyper_decode)
+        )
+        self._params = {
+            i: jax.jit(
+                partial(
+                    lambda v, prev, hyper, idx: model.apply(
+                        v, idx, prev, hyper, st, method=mt.slice_params
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(n_slices)
+        }
+        self._sym = {
+            i: jax.jit(
+                partial(
+                    lambda v, y, mu, idx: model.apply(
+                        v, idx, y, mu, method=mt.slice_symbols
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(n_slices)
+        }
+        self._recon = {
+            i: jax.jit(
+                partial(
+                    lambda v, sym, mu, prev, hyper, idx: model.apply(
+                        v, idx, sym, mu, prev, hyper, method=mt.slice_reconstruct
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(n_slices)
+        }
+        self._synth = jax.jit(lambda v, y: model.apply(v, y, method=mt.synthesize))
+
+    def compress(self, x) -> dict:
+        v = self.variables
+        y, z_sym_dev = self._encode_front(v, x)
+        hyper = self._hyper(v, z_sym_dev)
+
+        groups, y_hat_slices = [], []
+        for i in range(len(self.model.slice_ch)):
+            idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
+            sym = self._sym[i](v, y, mu)
+            y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
+            groups.append((sym, idx_i))
+
+        z_sym = np.asarray(z_sym_dev)
+        groups = [(np.asarray(s), np.asarray(i)) for s, i in groups]
+        b = z_sym.shape[0]
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes(z_sym.shape)
+        y_strings, z_strings = [], []
+        for n in range(b):
+            enc = RansEncoder()
+            for sym, idx in groups:
+                enc.buffer(sym[n], idx[n], self.tables.gc)
+            y_strings.append(enc.flush())
+            enc_z = RansEncoder()
+            enc_z.buffer(z_sym[n], z_idx[n], eb_table)
+            z_strings.append(enc_z.flush())
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+        }
+
+    def decompress(self, strings, shape) -> dict:
+        v = self.variables
+        y_strings, z_strings = strings
+        b = len(y_strings)
+        zh, zw = shape
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
+        z_sym = np.stack(
+            [RansDecoder(z_strings[n]).decode(z_idx[n], eb_table) for n in range(b)]
+        )
+        hyper = self._hyper(v, jnp.asarray(z_sym))
+
+        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+        y_hat_slices: list = []
+        for i in range(len(self.model.slice_ch)):
+            idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
+            idx_np = np.asarray(idx_i)
+            sym = jnp.asarray(
+                np.stack(
+                    [decoders[n].decode(idx_np[n], self.tables.gc) for n in range(b)]
+                )
+            )
+            y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}
+
+
 class UnitedCodec:
     """compress()/decompress() for the Bi-CEE 4-group joint RGB-D codecs
     (ELIC_united family). Two bitstream pairs per image: (rgb_y, rgb_z) and

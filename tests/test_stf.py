@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbdc_tpu.models import ChannelARCodec, SymmetricalTransFormer
+
+TINY = dict(embed_dim=8, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+            num_slices=4, in_ch=3)
+
+
+@pytest.fixture(scope="module")
+def stf_setup():
+    model = SymmetricalTransFormer(**TINY)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x,
+        training=True,
+    )
+    return model, v
+
+
+class TestSwinPrimitives:
+    def test_window_partition_reverse(self, rng):
+        from rgbdc_tpu.nn.swin import window_partition, window_reverse
+
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)), dtype=jnp.float32)
+        w = window_partition(x, 4)
+        assert w.shape == (2 * 2 * 3, 16, 5)
+        np.testing.assert_allclose(window_reverse(w, 4, 8, 12), x)
+
+    def test_patch_merge_split_shapes(self, rng):
+        from rgbdc_tpu.nn.swin import PatchMerging, PatchSplit
+
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), dtype=jnp.float32)
+        pm = PatchMerging(16)
+        v = pm.init(jax.random.PRNGKey(0), x)
+        y = pm.apply(v, x)
+        assert y.shape == (1, 4, 4, 32)
+        ps = PatchSplit(32)
+        v2 = ps.init(jax.random.PRNGKey(0), y)
+        z = ps.apply(v2, y)
+        assert z.shape == (1, 8, 8, 16)
+
+    def test_shifted_block_runs(self, rng):
+        from rgbdc_tpu.nn.swin import SwinBlock
+
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), dtype=jnp.float32)
+        blk = SwinBlock(16, num_heads=2, window=4, shift=2)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        y = blk.apply(v, x)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestSTF:
+    def test_forward_shapes(self, stf_setup, rng):
+        model, v = stf_setup
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), dtype=jnp.float32)
+        out = model.apply(v, x, training=False)
+        assert out["x_hat"].shape == x.shape
+        assert out["likelihoods"]["y"].shape == (1, 4, 4, model.M)
+        assert out["likelihoods"]["z"].shape == (1, 1, 1, model.N)
+
+    def test_roundtrip_matches_forward(self, stf_setup, rng):
+        model, v = stf_setup
+        codec = ChannelARCodec(model, v)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), dtype=jnp.float32)
+        out = codec.compress(x)
+        dec = codec.decompress(out["strings"], out["shape"])
+        fwd = model.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(dec["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-4, atol=1e-4
+        )
+
+    def test_channel_ar_support_limit(self, stf_setup):
+        # support is capped at num_slices // 2
+        model, _ = stf_setup
+        assert model.max_support_slices == 2
