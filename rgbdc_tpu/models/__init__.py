@@ -10,6 +10,7 @@ from .elic import ELIC
 from .elic_united import ELICUnited, ELICUnitedR2D
 from .cheng_ckbd import Cheng2020AnchorCheckerboard
 from .stf import SymmetricalTransFormer
+from .stf_united import STFUnited
 from .codec import ChannelARCodec, CodecTables, ElicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
@@ -18,6 +19,7 @@ modelZoo = {
     "ELIC_united_R2D": ELICUnitedR2D,
     "ELIC_united": ELICUnited,
     "ELIC": ELIC,
+    "STF_united": STFUnited,
     "STF": SymmetricalTransFormer,
 }
 
@@ -51,6 +53,7 @@ __all__ = [
     "ELICUnitedR2D",
     "Cheng2020AnchorCheckerboard",
     "SymmetricalTransFormer",
+    "STFUnited",
     "ChannelARCodec",
     "ElicCodec",
     "UnitedCodec",

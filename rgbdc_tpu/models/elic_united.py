@@ -62,10 +62,9 @@ class ELICUnited(nn.Module):
     quant: str = "ste"
     one_way: bool = False
 
-    def setup(self):
+    def _setup_transforms(self):
+        """Transform family — overridden by the swin-towered STF_united."""
         n, m = self.N, self.M
-        sch = tuple(self.slice_ch)
-        ns = len(sch)
         if self.one_way:
             self.g_a = AnalysisTransformEXSingle(n, m)
             self.g_s = SynthesisTransformEXSingle(n, m)
@@ -76,6 +75,12 @@ class ELICUnited(nn.Module):
             self.g_s = SynthesisTransformEXcross(n, m)
             self.h_a = HyperAnalysisEXcross(n, m)
             self.h_s = HyperSynthesisEXcross(n, m)
+
+    def setup(self):
+        sch = tuple(self.slice_ch)
+        ns = len(sch)
+        n = self.N
+        self._setup_transforms()
 
         self.rgb_local_context = [LocalContext5x5(2 * c) for c in sch]
         self.rgb_local_context_full = [LocalContext5x5(2 * c) for c in sch]

@@ -1,0 +1,49 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbdc_tpu.models import STFUnited, UnitedCodec, get_model_cls
+
+
+class TestSTFUnited:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = STFUnited(
+            N=16, M=32, slice_ch=(8, 24), embed_dim=4,
+            depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 4),
+        )
+        # 256px minimum: ESA fusion operates on H/16 maps
+        rgb = jnp.zeros((1, 256, 256, 3))
+        depth = jnp.zeros((1, 256, 256, 1))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            rgb,
+            depth,
+            training=True,
+        )
+        return model, v
+
+    def test_registry(self):
+        assert get_model_cls("STF_united") is STFUnited
+
+    def test_default_config_override(self):
+        m = STFUnited()
+        assert m.N == 192 and m.M == 384
+        assert tuple(m.slice_ch) == (24, 24, 48, 96, 192)
+
+    def test_forward_and_roundtrip(self, setup, rng):
+        model, v = setup
+        rgb = jnp.asarray(rng.uniform(size=(1, 256, 256, 3)), dtype=jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(1, 256, 256, 1)), dtype=jnp.float32)
+        out = model.apply(v, rgb, depth, training=False)
+        assert out["x_hat"]["r"].shape == rgb.shape
+        assert out["x_hat"]["d"].shape == depth.shape
+
+        codec = UnitedCodec(model, v)
+        c = codec.compress(rgb, depth)
+        d = codec.decompress(c["r_strings"], c["d_strings"], c["shape"])
+        np.testing.assert_allclose(
+            np.asarray(d["x_hat"]["r"]), np.asarray(out["x_hat"]["r"]),
+            rtol=1e-3, atol=1e-3,
+        )
