@@ -96,16 +96,17 @@ struct Encoder {
   std::vector<RansSymbol> syms;
 };
 
-void buffer_symbols(Encoder *enc, const int32_t *symbols, const int32_t *indexes,
+template <typename SymT, typename IdxT>
+void buffer_symbols(Encoder *enc, const SymT *symbols, const IdxT *indexes,
                     int64_t n, const int32_t *cdfs, int32_t cdf_stride,
                     const int32_t *cdf_lengths, const int32_t *offsets) {
   enc->syms.reserve(enc->syms.size() + static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) {
-    const int32_t cdf_idx = indexes[i];
+    const int32_t cdf_idx = static_cast<int32_t>(indexes[i]);
     const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
     const int32_t max_value = cdf_lengths[cdf_idx] - 2;
 
-    int32_t value = symbols[i] - offsets[cdf_idx];
+    int32_t value = static_cast<int32_t>(symbols[i]) - offsets[cdf_idx];
     uint64_t raw_val = 0;  // 64-bit: shift arithmetic stays defined for any int32
     if (value < 0) {
       raw_val = 2ull * static_cast<uint64_t>(-static_cast<int64_t>(value)) - 1;
@@ -187,14 +188,15 @@ inline int32_t find_symbol(const int32_t *cdf, int32_t cdf_len, uint32_t cum_fre
   return lo;
 }
 
-void decode_symbols(Decoder *dec, const int32_t *indexes, int64_t n,
+template <typename IdxT, typename OutT>
+void decode_symbols(Decoder *dec, const IdxT *indexes, int64_t n,
                     const int32_t *cdfs, int32_t cdf_stride,
                     const int32_t *cdf_lengths, const int32_t *offsets,
-                    int32_t *out) {
+                    OutT *out) {
   uint64_t x = dec->state;
   uint32_t *ptr = dec->ptr;
   for (int64_t i = 0; i < n; ++i) {
-    const int32_t cdf_idx = indexes[i];
+    const int32_t cdf_idx = static_cast<int32_t>(indexes[i]);
     const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
     const int32_t cdf_len = cdf_lengths[cdf_idx];
     const int32_t max_value = cdf_len - 2;
@@ -224,7 +226,7 @@ void decode_symbols(Decoder *dec, const int32_t *indexes, int64_t n,
         value += max_value;
       }
     }
-    out[i] = value + offsets[cdf_idx];
+    out[i] = static_cast<OutT>(value + offsets[cdf_idx]);
   }
   dec->state = x;
   dec->ptr = ptr;
@@ -242,6 +244,16 @@ void rans_encoder_free(void *enc) { delete static_cast<Encoder *>(enc); }
 void rans_encoder_buffer(void *enc, const int32_t *symbols, const int32_t *indexes,
                          int64_t n, const int32_t *cdfs, int32_t cdf_stride,
                          const int32_t *cdf_lengths, const int32_t *offsets) {
+  buffer_symbols(static_cast<Encoder *>(enc), symbols, indexes, n, cdfs,
+                 cdf_stride, cdf_lengths, offsets);
+}
+
+// compact-dtype variant: int16 symbols + uint8 indexes (the wire format the
+// TPU emits — 3 bytes/symbol over the host link instead of 8)
+void rans_encoder_buffer_i16u8(void *enc, const int16_t *symbols,
+                               const uint8_t *indexes, int64_t n,
+                               const int32_t *cdfs, int32_t cdf_stride,
+                               const int32_t *cdf_lengths, const int32_t *offsets) {
   buffer_symbols(static_cast<Encoder *>(enc), symbols, indexes, n, cdfs,
                  cdf_stride, cdf_lengths, offsets);
 }
@@ -265,6 +277,15 @@ void rans_decoder_decode(void *dec, const int32_t *indexes, int64_t n,
                          const int32_t *cdfs, int32_t cdf_stride,
                          const int32_t *cdf_lengths, const int32_t *offsets,
                          int32_t *out) {
+  decode_symbols(static_cast<Decoder *>(dec), indexes, n, cdfs, cdf_stride,
+                 cdf_lengths, offsets, out);
+}
+
+// compact-dtype variant: uint8 indexes in, int16 symbols out
+void rans_decoder_decode_u8i16(void *dec, const uint8_t *indexes, int64_t n,
+                               const int32_t *cdfs, int32_t cdf_stride,
+                               const int32_t *cdf_lengths, const int32_t *offsets,
+                               int16_t *out) {
   decode_symbols(static_cast<Decoder *>(dec), indexes, n, cdfs, cdf_stride,
                  cdf_lengths, offsets, out);
 }

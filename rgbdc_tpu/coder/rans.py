@@ -65,6 +65,10 @@ def _load() -> ctypes.CDLL:
         lib.rans_encoder_buffer.argtypes = [
             ctypes.c_void_p, i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
         ]
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.rans_encoder_buffer_i16u8.argtypes = [
+            ctypes.c_void_p, i16p, u8p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
+        ]
         lib.rans_encoder_flush.restype = ctypes.c_int64
         lib.rans_encoder_flush.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
 
@@ -73,6 +77,9 @@ def _load() -> ctypes.CDLL:
         lib.rans_decoder_free.argtypes = [ctypes.c_void_p]
         lib.rans_decoder_decode.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p, i32p,
+        ]
+        lib.rans_decoder_decode_u8i16.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p, i16p,
         ]
 
         lib.pmf_to_quantized_cdf.restype = ctypes.c_int32
@@ -104,9 +111,28 @@ class RansEncoder:
             self._enc = None
 
     def buffer(self, symbols, indexes, table: CdfTable) -> None:
+        """Buffer symbols for encoding. Accepts int32 symbols with int32
+        indexes, or the compact wire format int16 symbols + uint8 indexes
+        (zero-copy into C)."""
+        symbols = np.asarray(symbols).reshape(-1)
+        indexes = np.asarray(indexes).reshape(-1)
+        assert symbols.shape == indexes.shape
+        if symbols.dtype == np.int16 and indexes.dtype == np.uint8:
+            symbols = np.ascontiguousarray(symbols)
+            indexes = np.ascontiguousarray(indexes)
+            self._lib.rans_encoder_buffer_i16u8(
+                self._enc,
+                symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                symbols.size,
+                _i32(table.cdf),
+                table.cdf.shape[1],
+                _i32(table.cdf_length),
+                _i32(table.offset),
+            )
+            return
         symbols = _as_contig_i32(symbols)
         indexes = _as_contig_i32(indexes)
-        assert symbols.shape == indexes.shape
         self._lib.rans_encoder_buffer(
             self._enc,
             _i32(symbols),
@@ -148,7 +174,24 @@ class RansDecoder:
             self._dec = None
 
     def decode(self, indexes, table: CdfTable) -> np.ndarray:
-        shape = np.asarray(indexes).shape
+        """Decode len(indexes) symbols. uint8 indexes use the compact path
+        and return int16 symbols; int32 indexes return int32."""
+        indexes = np.asarray(indexes)
+        shape = indexes.shape
+        if indexes.dtype == np.uint8:
+            indexes = np.ascontiguousarray(indexes.reshape(-1))
+            out = np.empty(indexes.size, dtype=np.int16)
+            self._lib.rans_decoder_decode_u8i16(
+                self._dec,
+                indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                indexes.size,
+                _i32(table.cdf),
+                table.cdf.shape[1],
+                _i32(table.cdf_length),
+                _i32(table.offset),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            )
+            return out.reshape(shape)
         indexes = _as_contig_i32(indexes)
         out = np.empty(indexes.size, dtype=np.int32)
         self._lib.rans_decoder_decode(

@@ -80,7 +80,11 @@ def gaussian_forward(
 def build_indexes(
     scales: jax.Array, scale_table: np.ndarray, scale_bound: float = SCALE_BOUND
 ) -> jax.Array:
-    """Index of the smallest table entry >= sigma, int32, same shape as scales."""
+    """Index of the smallest table entry >= sigma, same shape as scales.
+
+    Emitted as uint8 — the wire dtype for the host rANS coder (scale tables
+    have <= 256 levels; the default has 64)."""
+    assert len(scale_table) <= 256, "uint8 index wire format needs <=256 levels"
     table = jnp.asarray(scale_table[:-1], dtype=scales.dtype)
     scales = jnp.maximum(scales, scale_bound)
-    return jnp.searchsorted(table, scales, side="left").astype(jnp.int32)
+    return jnp.searchsorted(table, scales, side="left").astype(jnp.uint8)

@@ -74,13 +74,20 @@ def pmf_to_quantized_cdf_py(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
 def _pmf_set_to_table(
     pmf: np.ndarray, tail_mass: np.ndarray, pmf_length: np.ndarray, precision: int
 ) -> np.ndarray:
-    """Stack ragged pmfs (+escape tail) into a dense quantized-CDF matrix."""
+    """Stack ragged pmfs (+escape tail) into a dense quantized-CDF matrix.
+
+    Uses the C quantizer (identical semantics, ~100x faster for the long
+    wide-sigma rows); pmf_to_quantized_cdf_py is the tested mirror."""
+    try:
+        from ..coder.rans import pmf_to_quantized_cdf as quantize_cdf
+    except Exception:  # pragma: no cover — no compiler available
+        quantize_cdf = pmf_to_quantized_cdf_py
     n = pmf.shape[0]
     max_length = int(pmf_length.max())
     cdf = np.zeros((n, max_length + 2), dtype=np.int32)
     for i in range(n):
         prob = np.concatenate([pmf[i, : pmf_length[i]], tail_mass[i : i + 1]])
-        _c = pmf_to_quantized_cdf_py(prob, precision)
+        _c = quantize_cdf(np.ascontiguousarray(prob, dtype=np.float32), precision)
         cdf[i, : _c.shape[0]] = _c
     return cdf
 

@@ -32,6 +32,7 @@ from ..nn import (
     conv3x3,
 )
 from ..nn.layers import SubpelConv3x3
+from ..ops.wire import _sym16
 from ..ops import (
     ckbd_anchor,
     ckbd_anchor_squeeze,
@@ -250,10 +251,10 @@ class Cheng2020AnchorCheckerboard(nn.Module):
         )
 
     def anchor_symbols(self, idx: int, y, mn_sq):
-        return jnp.round(ckbd_anchor_squeeze(y) - mn_sq).astype(jnp.int32)
+        return _sym16(ckbd_anchor_squeeze(y) - mn_sq)
 
     def nonanchor_symbols(self, idx: int, y, mn_sq):
-        return jnp.round(ckbd_nonanchor_squeeze(y) - mn_sq).astype(jnp.int32)
+        return _sym16(ckbd_nonanchor_squeeze(y) - mn_sq)
 
     def synthesize(self, y_hat):
         return self.g_s(y_hat)

@@ -16,6 +16,8 @@ built by ``update()`` — the analog of reference net.update(force=True).
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from functools import partial
 
@@ -45,6 +47,17 @@ class CodecTables:
             table, _medians = build_bottleneck_tables(variables["params"][name])
             eb[name] = table
         return cls(gc=gc, eb=eb, scale_table=scale_table)
+
+
+_POOL = ThreadPoolExecutor(max_workers=int(os.environ.get("RGBDC_CODER_THREADS", "8")))
+
+
+def _tmap(fn, n):
+    """Map fn over range(n) on the coder thread pool (ctypes releases the
+    GIL, so per-image rANS calls run truly parallel)."""
+    if n == 1:
+        return [fn(0)]
+    return list(_POOL.map(fn, range(n)))
 
 
 def eb_channel_indexes(shape) -> np.ndarray:
@@ -135,26 +148,23 @@ class ElicCodec:
             groups.append((sym_a, idx_a))
             groups.append((sym_na, idx_na))
 
-        z_sym = np.asarray(z_sym_dev)
-        groups = [(np.asarray(s), np.asarray(i)) for s, i in groups]
+        z_sym, groups = jax.device_get((z_sym_dev, groups))
 
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
 
-        y_strings, z_strings = [], []
-        for n in range(b):
+        def encode_one(n):
             enc = RansEncoder()
             for sym, idx in groups:
                 enc.buffer(sym[n], idx[n], self.tables.gc)
-            y_strings.append(enc.flush())
-
             enc_z = RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
-            z_strings.append(enc_z.flush())
+            return enc.flush(), enc_z.flush()
 
+        pairs = _tmap(encode_one, b)
         return {
-            "strings": [y_strings, z_strings],
+            "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
         }
 
@@ -169,29 +179,30 @@ class ElicCodec:
 
         z_idx = eb_channel_indexes((b, zh, zw, c))
         z_sym = np.stack(
-            [RansDecoder(z_strings[n]).decode(z_idx[n], eb_table) for n in range(b)]
+            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(self.variables, jnp.asarray(z_sym))
 
         decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+
+        def pull(idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(np.stack(
+                _tmap(lambda n: decoders[n].decode(idx_np[n], self.tables.gc), b)
+            ))
+
         y_hat_slices: list = []
         for i in range(len(self.model.slice_ch)):
             idx_a, mn_a, ch_ctx = self._dec_anchor[i](
                 self.variables, tuple(y_hat_slices), hyper
             )
-            idx_a_np = np.asarray(idx_a)
-            sym_a = np.stack(
-                [decoders[n].decode(idx_a_np[n], self.tables.gc) for n in range(b)]
-            )
+            sym_a = pull(idx_a)
             idx_na, mn_na, anchor_hat = self._dec_nonanchor[i](
-                self.variables, jnp.asarray(sym_a), mn_a, ch_ctx, hyper
+                self.variables, sym_a, mn_a, ch_ctx, hyper
             )
-            idx_na_np = np.asarray(idx_na)
-            sym_na = np.stack(
-                [decoders[n].decode(idx_na_np[n], self.tables.gc) for n in range(b)]
-            )
+            sym_na = pull(idx_na)
             y_hat_slices.append(
-                self._merge(self.variables, anchor_hat, jnp.asarray(sym_na), mn_na)
+                self._merge(self.variables, anchor_hat, sym_na, mn_na)
             )
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
@@ -265,22 +276,22 @@ class ChannelARCodec:
             y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
             groups.append((sym, idx_i))
 
-        z_sym = np.asarray(z_sym_dev)
-        groups = [(np.asarray(s), np.asarray(i)) for s, i in groups]
+        z_sym, groups = jax.device_get((z_sym_dev, groups))
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
-        y_strings, z_strings = [], []
-        for n in range(b):
+
+        def encode_one(n):
             enc = RansEncoder()
             for sym, idx in groups:
                 enc.buffer(sym[n], idx[n], self.tables.gc)
-            y_strings.append(enc.flush())
             enc_z = RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
-            z_strings.append(enc_z.flush())
+            return enc.flush(), enc_z.flush()
+
+        pairs = _tmap(encode_one, b)
         return {
-            "strings": [y_strings, z_strings],
+            "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
         }
 
@@ -292,7 +303,7 @@ class ChannelARCodec:
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
         z_sym = np.stack(
-            [RansDecoder(z_strings[n]).decode(z_idx[n], eb_table) for n in range(b)]
+            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(v, jnp.asarray(z_sym))
 
@@ -301,11 +312,9 @@ class ChannelARCodec:
         for i in range(len(self.model.slice_ch)):
             idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
             idx_np = np.asarray(idx_i)
-            sym = jnp.asarray(
-                np.stack(
-                    [decoders[n].decode(idx_np[n], self.tables.gc) for n in range(b)]
-                )
-            )
+            sym = jnp.asarray(np.stack(
+                _tmap(lambda n: decoders[n].decode(idx_np[n], self.tables.gc), b)
+            ))
             y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
@@ -410,22 +419,19 @@ class UnitedCodec:
             r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
             d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
 
-        rz_sym = np.asarray(rz_sym)
-        dz_sym = np.asarray(dz_sym)
-        r_groups = [(np.asarray(s), np.asarray(i)) for s, i in r_groups]
-        d_groups = [(np.asarray(s), np.asarray(i)) for s, i in d_groups]
+        rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
+            (rz_sym, dz_sym, r_groups, d_groups)
+        )
 
         b = rz_sym.shape[0]
         z_idx = eb_channel_indexes(rz_sym.shape)
-        r_strings, d_strings = [], []
-        for n in range(b):
+
+        def encode_one(n):
             enc_ry = RansEncoder()
             for sym, idx in r_groups:
                 enc_ry.buffer(sym[n], idx[n], self.tables.gc)
             enc_rz = RansEncoder()
             enc_rz.buffer(rz_sym[n], z_idx[n], self.tables.eb["rgb_entropy_bottleneck"])
-            r_strings.append([enc_ry.flush(), enc_rz.flush()])
-
             enc_dy = RansEncoder()
             for sym, idx in d_groups:
                 enc_dy.buffer(sym[n], idx[n], self.tables.gc)
@@ -433,7 +439,11 @@ class UnitedCodec:
             enc_dz.buffer(
                 dz_sym[n], z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
             )
-            d_strings.append([enc_dy.flush(), enc_dz.flush()])
+            return [enc_ry.flush(), enc_rz.flush()], [enc_dy.flush(), enc_dz.flush()]
+
+        pairs = _tmap(encode_one, b)
+        r_strings = [p[0] for p in pairs]
+        d_strings = [p[1] for p in pairs]
 
         return {
             "r_strings": r_strings,
@@ -447,22 +457,18 @@ class UnitedCodec:
         zh, zw = shape
         c = self.model.N
         z_idx = eb_channel_indexes((b, zh, zw, c))
-        rz_sym = np.stack(
-            [
-                RansDecoder(r_strings[n][1]).decode(
-                    z_idx[n], self.tables.eb["rgb_entropy_bottleneck"]
-                )
-                for n in range(b)
-            ]
-        )
-        dz_sym = np.stack(
-            [
-                RansDecoder(d_strings[n][1]).decode(
-                    z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
-                )
-                for n in range(b)
-            ]
-        )
+        rz_sym = np.stack(_tmap(
+            lambda n: RansDecoder(r_strings[n][1]).decode(
+                z_idx[n], self.tables.eb["rgb_entropy_bottleneck"]
+            ),
+            b,
+        ))
+        dz_sym = np.stack(_tmap(
+            lambda n: RansDecoder(d_strings[n][1]).decode(
+                z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
+            ),
+            b,
+        ))
         rgb_hyper, depth_hyper = self._hyper(
             v, jnp.asarray(rz_sym), jnp.asarray(dz_sym)
         )
@@ -472,9 +478,9 @@ class UnitedCodec:
 
         def _pull(decs, idx_dev):
             idx_np = np.asarray(idx_dev)
-            return jnp.asarray(
-                np.stack([decs[n].decode(idx_np[n], self.tables.gc) for n in range(b)])
-            )
+            return jnp.asarray(np.stack(
+                _tmap(lambda n: decs[n].decode(idx_np[n], self.tables.gc), b)
+            ))
 
         r_prev, d_prev = [], []
         for i in range(len(self.model.slice_ch)):

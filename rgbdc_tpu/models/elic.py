@@ -36,6 +36,7 @@ from ..nn import (
     LocalContext5x5,
     SynthesisTransformEX,
 )
+from ..ops.wire import _sym16
 from ..ops import (
     ckbd_anchor,
     ckbd_anchor_squeeze,
@@ -180,13 +181,13 @@ class ELIC(nn.Module):
         start = sum(self.slice_ch[:idx])
         y_slice = y[..., start : start + self.slice_ch[idx]]
         a_sq = ckbd_anchor_squeeze(y_slice)
-        return jnp.round(a_sq - mn_a_sq).astype(jnp.int32)
+        return _sym16(a_sq - mn_a_sq)
 
     def nonanchor_symbols(self, idx: int, y, mn_na_sq):
         start = sum(self.slice_ch[:idx])
         y_slice = y[..., start : start + self.slice_ch[idx]]
         na_sq = ckbd_nonanchor_squeeze(y_slice)
-        return jnp.round(na_sq - mn_na_sq).astype(jnp.int32)
+        return _sym16(na_sq - mn_na_sq)
 
     def hyper_decode(self, z_sym):
         """z symbols -> hyper params (first stage of decompress)."""

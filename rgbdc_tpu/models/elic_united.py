@@ -39,6 +39,7 @@ from ..nn import (
     SynthesisTransformEXcross,
     SynthesisTransformEXSingle,
 )
+from ..ops.wire import _sym16
 from ..ops import (
     ckbd_anchor,
     ckbd_anchor_squeeze,
@@ -317,12 +318,12 @@ class ELICUnited(nn.Module):
     def anchor_symbols(self, idx: int, y, mn_sq):
         start = sum(self.slice_ch[:idx])
         y_slice = y[..., start : start + self.slice_ch[idx]]
-        return jnp.round(ckbd_anchor_squeeze(y_slice) - mn_sq).astype(jnp.int32)
+        return _sym16(ckbd_anchor_squeeze(y_slice) - mn_sq)
 
     def nonanchor_symbols(self, idx: int, y, mn_sq):
         start = sum(self.slice_ch[:idx])
         y_slice = y[..., start : start + self.slice_ch[idx]]
-        return jnp.round(ckbd_nonanchor_squeeze(y_slice) - mn_sq).astype(jnp.int32)
+        return _sym16(ckbd_nonanchor_squeeze(y_slice) - mn_sq)
 
     def synthesize(self, rgb_y_hat, depth_y_hat):
         return self.g_s(rgb_y_hat, depth_y_hat)

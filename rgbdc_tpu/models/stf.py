@@ -231,7 +231,7 @@ class SymmetricalTransFormer(nn.Module):
     def slice_symbols(self, i: int, y, mu):
         start = i * self.slice_ch[0]
         y_slice = y[..., start : start + self.slice_ch[0]]
-        return jnp.round(y_slice - mu).astype(jnp.int32)
+        return _sym16(y_slice - mu)
 
     def slice_reconstruct(self, i: int, sym, mu, y_hat_prev, hyper):
         _, means = hyper
