@@ -1,0 +1,132 @@
+"""Cascade tester (reference testing/tester_master.py:27-148): the aux codec
+round-trips the aux modality first; the master codec is conditioned on the
+DECODED aux image + decoder taps; beta/gamma side info is counted into the
+master bpp (reference adds 128 bytes, :126-127 — here 256 bytes of f16)."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coder import read_body, read_uints, write_body, write_uints
+from ..data import ImageFolderUnited
+from ..eval.metrics import AverageMeter, compute_metrics
+from ..eval.padding import crop_to, pad_to_multiple
+from ..models import ELIC, ElicCodec, MasterCodec, build_model
+from .tester import Tester, _save_png
+
+
+class TesterMaster(Tester):
+    codec_cls = MasterCodec
+
+    def __init__(self, args, config):
+        self.master_channel = args.channel if args.channel in (1, 3) else 3
+        self.aux_channel = 1 if self.master_channel == 3 else 3
+        self.in_ch = self.master_channel
+        super().__init__(args, config)
+        self.aux_model = ELIC(
+            N=config.N,
+            M=config.M,
+            slice_ch=tuple(config.slice_ch),
+            quant=config.quant,
+            in_ch=self.aux_channel,
+            return_mid=True,
+        )
+        aux_vars = self.aux_model.init(
+            {"params": jax.random.PRNGKey(42), "noise": jax.random.PRNGKey(43)},
+            jnp.zeros((1, 128, 128, self.aux_channel)),
+            training=True,
+        )
+        ckpt = getattr(args, "checkpoint_aux", None)
+        if ckpt:
+            from flax import serialization
+
+            with open(ckpt, "rb") as f:
+                payload = serialization.from_bytes(
+                    {"params": aux_vars["params"]}, f.read()
+                )
+            aux_vars = {"params": payload["params"]}
+            self.logger.info(f"aux codec restored from {ckpt}")
+        self.aux_codec = ElicCodec(self.aux_model, aux_vars)
+
+    def _example_inputs(self):
+        # master init needs (x, aux, up1..3)
+        x = jnp.zeros((1, 128, 128, self.master_channel))
+        aux = jnp.zeros((1, 128, 128, self.aux_channel))
+        n = self.config.N
+        ups = [
+            jnp.zeros((1, 16, 16, n)),
+            jnp.zeros((1, 32, 32, n)),
+            jnp.zeros((1, 64, 64, n)),
+        ]
+        return (x, aux, *ups)
+
+    def test_model(self, padding_mode="replicate0", padding=True):
+        ds = ImageFolderUnited(self.args.dataset_path, debug=self.debug)
+        keys = ("psnr", "msssim", "bpp", "aux_psnr", "aux_bpp", "enc_t", "dec_t")
+        meters = {k: AverageMeter() for k in keys}
+        for i in range(len(ds)):
+            rgb, depth, rname, _ = ds[i]
+            if self.master_channel == 3:
+                x_img, aux_img = rgb, depth
+            else:
+                x_img, aux_img = depth, rgb
+            x = jnp.asarray(x_img)[None]
+            aux = jnp.asarray(aux_img)[None]
+            h, w = x.shape[1:3]
+            x_pad, _ = pad_to_multiple(x, 64, padding_mode)
+            aux_pad, _ = pad_to_multiple(aux, 64, padding_mode)
+
+            t0 = time.time()
+            # aux round-trip first: the master conditions on DECODED aux
+            aux_comp = self.aux_codec.compress(aux_pad)
+            aux_dec = self.aux_codec.decompress(aux_comp["strings"], aux_comp["shape"])
+            aux_hat = aux_dec["x_hat"]
+            aux_ups = (aux_dec["up1"], aux_dec["up2"], aux_dec["up3"])
+
+            comp = self.codec.compress(x_pad, aux_hat)
+            path = self.stream_dir / f"{rname}_master.bin"
+            apath = self.stream_dir / f"{rname}_aux.bin"
+            with open(path, "wb") as f:
+                write_uints(f, (h, w))
+                write_body(f, comp["shape"], comp["strings"])
+                beta, gamma = comp["side_info"]
+                f.write(beta.tobytes())
+                f.write(gamma.tobytes())
+            with open(apath, "wb") as f:
+                write_uints(f, (h, w))
+                write_body(f, aux_comp["shape"], aux_comp["strings"])
+            enc_t = time.time() - t0
+
+            t0 = time.time()
+            with open(path, "rb") as f:
+                read_uints(f, 2)
+                strings, shape = read_body(f)
+                beta = np.frombuffer(f.read(128), dtype=np.float16).reshape(1, 1, 1, 64)
+                gamma = np.frombuffer(f.read(128), dtype=np.float16).reshape(1, 1, 1, 64)
+            dec = self.codec.decompress(
+                strings, shape, aux_hat, aux_ups, (beta, gamma)
+            )
+            x_hat = crop_to(dec["x_hat"], (h, w), padding_mode)
+            jax.block_until_ready(x_hat)
+            dec_t = time.time() - t0
+
+            bpp = path.stat().st_size * 8 / (h * w)
+            aux_bpp = apath.stat().st_size * 8 / (h * w)
+            p, m = compute_metrics(x, x_hat)
+            aux_p, _ = compute_metrics(aux, crop_to(aux_hat, (h, w), padding_mode))
+            for k, v in zip(keys, (p, m, bpp, aux_p, aux_bpp, enc_t, dec_t)):
+                meters[k].update(v)
+            _save_png(np.asarray(x_hat)[0], self.rec_dir / f"{rname}_master.png")
+            self.logger.info(
+                f"{rname}: bpp={bpp:.4f} psnr={p:.3f} aux_bpp={aux_bpp:.4f} "
+                f"aux_psnr={aux_p:.3f} enc={enc_t:.3f}s dec={dec_t:.3f}s"
+            )
+        self.logger.info(
+            "AVG: " + " ".join(f"{k}={v.avg:.4f}" for k, v in meters.items())
+        )
+        return {k: v.avg for k, v in meters.items()}

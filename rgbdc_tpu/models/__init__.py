@@ -11,13 +11,15 @@ from .elic_united import ELICUnited, ELICUnitedR2D
 from .cheng_ckbd import Cheng2020AnchorCheckerboard
 from .stf import SymmetricalTransFormer
 from .stf_united import STFUnited
-from .codec import ChannelARCodec, CodecTables, ElicCodec, UnitedCodec
+from .elic_master import ELICMaster
+from .codec import ChannelARCodec, CodecTables, ElicCodec, MasterCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
     "ckbd": Cheng2020AnchorCheckerboard,
     "ELIC_united_R2D": ELICUnitedR2D,
     "ELIC_united": ELICUnited,
+    "ELIC_master": ELICMaster,
     "ELIC": ELIC,
     "STF_united": STFUnited,
     "STF": SymmetricalTransFormer,
@@ -54,6 +56,8 @@ __all__ = [
     "Cheng2020AnchorCheckerboard",
     "SymmetricalTransFormer",
     "STFUnited",
+    "ELICMaster",
+    "MasterCodec",
     "ChannelARCodec",
     "ElicCodec",
     "UnitedCodec",

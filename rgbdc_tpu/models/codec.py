@@ -207,6 +207,108 @@ class ElicCodec:
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         x_hat = self._synth(self.variables, y_hat)
+        if isinstance(x_hat, tuple):  # return_mid aux codec: taps for cascade
+            x_hat, up1, up2, up3 = x_hat
+            return {"x_hat": x_hat, "y_hat": y_hat, "up1": up1, "up2": up2, "up3": up3}
+        return {"x_hat": x_hat, "y_hat": y_hat}
+
+
+class MasterCodec(ElicCodec):
+    """Cascade codec driver for ELIC_master: same 5-slice checkerboard loop
+    as ElicCodec, plus the feature-fusion front (decoded aux conditioning)
+    and beta/gamma side info (reference testing/tester_master.py:109-148)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        super().__init__(model, variables, tables)
+        mt = type(model)
+        self._encode_front_master = jax.jit(
+            lambda v, x, aux: model.apply(v, x, aux, method=mt.encode_front_master)
+        )
+        self._synth_master = jax.jit(
+            lambda v, y, aux, beta, gamma, ups: model.apply(
+                v, y, aux, beta, gamma, *ups, method=mt.synthesize_master
+            )
+        )
+
+    def compress(self, x, aux, aux_ups=None) -> dict:
+        v = self.variables
+        y, z_sym_dev, beta, gamma = self._encode_front_master(v, x, aux)
+        hyper = self._hyper(v, z_sym_dev)
+
+        groups = []
+        y_hat_slices: list = []
+        for i in range(len(self.model.slice_ch)):
+            idx_a, mn_a, ch_ctx = self._dec_anchor[i](v, tuple(y_hat_slices), hyper)
+            sym_a = self._sym_a[i](v, y, mn_a)
+            idx_na, mn_na, anchor_hat = self._dec_nonanchor[i](
+                v, sym_a, mn_a, ch_ctx, hyper
+            )
+            sym_na = self._sym_na[i](v, y, mn_na)
+            y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
+            groups.append((sym_a, idx_a))
+            groups.append((sym_na, idx_na))
+
+        z_sym, groups, beta, gamma = jax.device_get((z_sym_dev, groups, beta, gamma))
+        b = z_sym.shape[0]
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes(z_sym.shape)
+
+        def encode_one(n):
+            enc = RansEncoder()
+            for sym, idx in groups:
+                enc.buffer(sym[n], idx[n], self.tables.gc)
+            enc_z = RansEncoder()
+            enc_z.buffer(z_sym[n], z_idx[n], eb_table)
+            return enc.flush(), enc_z.flush()
+
+        pairs = _tmap(encode_one, b)
+        return {
+            "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+            # 128 halves = 256 bytes of side info per image
+            "side_info": (beta.astype(np.float16), gamma.astype(np.float16)),
+        }
+
+    def decompress(self, strings, shape, aux, aux_ups, side_info) -> dict:
+        v = self.variables
+        y_strings, z_strings = strings
+        b = len(y_strings)
+        zh, zw = shape
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
+        z_sym = np.stack(
+            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+        )
+        hyper = self._hyper(v, jnp.asarray(z_sym))
+
+        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+
+        def pull(idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(np.stack(
+                _tmap(lambda n: decoders[n].decode(idx_np[n], self.tables.gc), b)
+            ))
+
+        y_hat_slices: list = []
+        for i in range(len(self.model.slice_ch)):
+            idx_a, mn_a, ch_ctx = self._dec_anchor[i](v, tuple(y_hat_slices), hyper)
+            sym_a = pull(idx_a)
+            idx_na, mn_na, anchor_hat = self._dec_nonanchor[i](
+                v, sym_a, mn_a, ch_ctx, hyper
+            )
+            sym_na = pull(idx_na)
+            y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        beta, gamma = side_info
+        x_hat = self._synth_master(
+            v,
+            y_hat,
+            aux,
+            jnp.asarray(beta, dtype=jnp.float32),
+            jnp.asarray(gamma, dtype=jnp.float32),
+            tuple(aux_ups),
+        )
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 

@@ -56,6 +56,38 @@ class SynthesisTransformEX(nn.Module):
         return x
 
 
+class SynthesisTransformPlus(nn.Module):
+    """Master-cascade g_s (reference synthesis.py:74-110): the EX decoder
+    with a SpatialAligner fusing the aux decoder's tap after each of the
+    first three deconvs."""
+
+    N: int
+    M: int
+    out_ch: int = 3
+    act: Act = jax.nn.relu
+
+    @nn.compact
+    def __call__(self, x, up1, up2, up3):
+        from .aligners import SpatialAligner
+
+        n = self.N
+        x = AttentionBlock(self.M)(x)
+        x = deconv(n)(x)
+        x = SpatialAligner(out_ch=n)(x, up1)
+        for _ in range(3):
+            x = ResidualBottleneck(n, act=self.act)(x)
+        x = deconv(n)(x)
+        x = SpatialAligner(out_ch=n)(x, up2)
+        x = AttentionBlock(n)(x)
+        for _ in range(3):
+            x = ResidualBottleneck(n, act=self.act)(x)
+        x = deconv(n)(x)
+        x = SpatialAligner(out_ch=n)(x, up3)
+        for _ in range(3):
+            x = ResidualBottleneck(n, act=self.act)(x)
+        return deconv(self.out_ch)(x)
+
+
 class SynthesisTransformEXcross(nn.Module):
     """Dual-branch g_s with Bi-CPT fusion after each of the first 3 deconvs."""
 
