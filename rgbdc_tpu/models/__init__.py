@@ -12,7 +12,8 @@ from .cheng_ckbd import Cheng2020AnchorCheckerboard
 from .stf import SymmetricalTransFormer
 from .stf_united import STFUnited
 from .elic_master import ELICMaster
-from .codec import ChannelARCodec, CodecTables, ElicCodec, MasterCodec, UnitedCodec
+from .mlicpp import MLICPlusPlus
+from .codec import ChannelARCodec, CodecTables, ElicCodec, MasterCodec, MlicCodec, UnitedCodec
 
 # ordered: longest/most-specific substring first (reference models/__init__.py:10)
 modelZoo = {
@@ -23,6 +24,7 @@ modelZoo = {
     "ELIC": ELIC,
     "STF_united": STFUnited,
     "STF": SymmetricalTransFormer,
+    "MLIC": MLICPlusPlus,
 }
 
 
@@ -44,6 +46,8 @@ def build_model(name: str, config, in_ch: int | None = None):
             kwargs[key] = config[key]
     if "slice_ch" in fields and "slice_ch" in config:
         kwargs["slice_ch"] = tuple(config["slice_ch"])
+    if "slice_num" in fields and "slice_num" in config:
+        kwargs["slice_num"] = config["slice_num"]
     if "in_ch" in fields and in_ch is not None:
         kwargs["in_ch"] = in_ch
     return cls(**kwargs)
@@ -58,6 +62,8 @@ __all__ = [
     "STFUnited",
     "ELICMaster",
     "MasterCodec",
+    "MLICPlusPlus",
+    "MlicCodec",
     "ChannelARCodec",
     "ElicCodec",
     "UnitedCodec",

@@ -312,6 +312,116 @@ class MasterCodec(ElicCodec):
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 
+class MlicCodec(ElicCodec):
+    """MLIC++ driver: ELIC-style checkerboard phases, but the nonanchor and
+    merge stages also take the previous slices + hyper (for LRP and the
+    global contexts)."""
+
+    def __init__(self, model, variables, tables: CodecTables | None = None):
+        super().__init__(model, variables, tables)
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        mt = type(model)
+        self._dec_nonanchor = {
+            i: jax.jit(
+                partial(
+                    lambda v, sym_a, mn_a, pack, prev, hyper, idx: model.apply(
+                        v, idx, sym_a, mn_a, pack, prev, hyper, st,
+                        method=mt.decode_nonanchor_mlic,
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(len(model.slice_ch))
+        }
+        self._merge_i = {
+            i: jax.jit(
+                partial(
+                    lambda v, a, s, m, prev, hyper, idx: model.apply(
+                        v, idx, a, s, m, prev, hyper, method=mt.merge_slice_mlic
+                    ),
+                    idx=i,
+                )
+            )
+            for i in range(len(model.slice_ch))
+        }
+
+    def compress(self, x) -> dict:
+        v = self.variables
+        y, z_sym_dev = self._encode_front(v, x)
+        hyper = self._hyper(v, z_sym_dev)
+
+        groups = []
+        y_hat_slices: list = []
+        for i in range(len(self.model.slice_ch)):
+            prev = tuple(y_hat_slices)
+            idx_a, mn_a, pack = self._dec_anchor[i](v, prev, hyper)
+            sym_a = self._sym_a[i](v, y, mn_a)
+            idx_na, mn_na, anchor_hat = self._dec_nonanchor[i](
+                v, sym_a, mn_a, pack, prev, hyper
+            )
+            sym_na = self._sym_na[i](v, y, mn_na)
+            y_hat_slices.append(
+                self._merge_i[i](v, anchor_hat, sym_na, mn_na, prev, hyper)
+            )
+            groups.append((sym_a, idx_a))
+            groups.append((sym_na, idx_na))
+
+        z_sym, groups = jax.device_get((z_sym_dev, groups))
+        b = z_sym.shape[0]
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes(z_sym.shape)
+
+        def encode_one(n):
+            enc = RansEncoder()
+            for sym, idx in groups:
+                enc.buffer(sym[n], idx[n], self.tables.gc)
+            enc_z = RansEncoder()
+            enc_z.buffer(z_sym[n], z_idx[n], eb_table)
+            return enc.flush(), enc_z.flush()
+
+        pairs = _tmap(encode_one, b)
+        return {
+            "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+        }
+
+    def decompress(self, strings, shape) -> dict:
+        v = self.variables
+        y_strings, z_strings = strings
+        b = len(y_strings)
+        zh, zw = shape
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
+        z_sym = np.stack(
+            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+        )
+        hyper = self._hyper(v, jnp.asarray(z_sym))
+
+        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+
+        def pull(idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(np.stack(
+                _tmap(lambda n: decoders[n].decode(idx_np[n], self.tables.gc), b)
+            ))
+
+        y_hat_slices: list = []
+        for i in range(len(self.model.slice_ch)):
+            prev = tuple(y_hat_slices)
+            idx_a, mn_a, pack = self._dec_anchor[i](v, prev, hyper)
+            sym_a = pull(idx_a)
+            idx_na, mn_na, anchor_hat = self._dec_nonanchor[i](
+                v, sym_a, mn_a, pack, prev, hyper
+            )
+            sym_na = pull(idx_na)
+            y_hat_slices.append(
+                self._merge_i[i](v, anchor_hat, sym_na, mn_na, prev, hyper)
+            )
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}
+
+
 class ChannelARCodec:
     """compress()/decompress() for channel-autoregressive codecs with no
     checkerboard (STF family): one dense rANS group per slice, sequential
