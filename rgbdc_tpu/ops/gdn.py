@@ -33,6 +33,32 @@ def _nonneg(x, minimum: float = 0.0):
     return out * out - _PEDESTAL
 
 
+class GDN1(nn.Module):
+    """Simplified GDN (Johnston 2019, reference gdn.py:70-96):
+    y[i] = x[i] / (beta[i] + sum_j gamma[j->i] |x[j]|)."""
+
+    channels: int
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.channels
+        beta = self.param("beta", lambda rng: _nonneg_init(jnp.ones((c,))))
+        gamma = self.param(
+            "gamma", lambda rng: _nonneg_init(self.gamma_init * jnp.eye(c))
+        )
+        beta = _nonneg(beta, self.beta_min)
+        gamma = _nonneg(gamma)
+        norm = jnp.einsum(
+            "...j,ij->...i", jnp.abs(x), gamma, preferred_element_type=jnp.float32
+        ) + beta
+        if self.inverse:
+            return x * norm
+        return x / norm
+
+
 class GDN(nn.Module):
     """GDN / IGDN over the channel (last) axis of an NHWC tensor."""
 
