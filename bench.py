@@ -49,13 +49,16 @@ def main():
     jax.block_until_ready(dec["x_hat"]["r"])
     print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    from rgbdc_tpu.utils.profiling import trace_if_enabled
+
     times = []
     for _ in range(iters):
-        t0 = time.time()
-        out = codec.compress(rgb, depth)
-        dec = codec.decompress(out["r_strings"], out["d_strings"], out["shape"])
-        jax.block_until_ready(dec["x_hat"]["r"])
-        times.append(time.time() - t0)
+        with trace_if_enabled():
+            t0 = time.time()
+            out = codec.compress(rgb, depth)
+            dec = codec.decompress(out["r_strings"], out["d_strings"], out["shape"])
+            jax.block_until_ready(dec["x_hat"]["r"])
+            times.append(time.time() - t0)
     best = min(times)
     imgs_per_sec = batch / best
 
