@@ -18,8 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rgbdc_tpu.utils.cache import enable_compile_cache
+
 
 def main():
+    enable_compile_cache()
     from rgbdc_tpu.models import ELICUnited, UnitedCodec
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))

@@ -26,6 +26,9 @@ def pick_tester(args):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     faulthandler.enable()
     args = test_options(argv)
     if getattr(args, "tiny", False):

@@ -25,6 +25,9 @@ def pick_trainer(args):
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = train_options(argv)
     if getattr(args, "tiny", False):
         config = tiny_model_config()

@@ -35,3 +35,12 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_spatial(mesh: Mesh, x):
+    """Shard an NHWC image over ('data', 'spatial'): batch on the data axis
+    and image ROWS on the spatial axis.  XLA/GSPMD inserts the conv halo
+    exchanges over ICI automatically — the framework's sequence-parallel
+    analog for very large single images (SURVEY §2.11)."""
+    sharding = NamedSharding(mesh, P("data", "spatial", None, None))
+    return jax.device_put(x, sharding)
