@@ -154,3 +154,43 @@ class AttentionBlock(nn.Module):
             b = _ResidualUnit(self.features)(b)
         b = conv1x1(self.features)(b)
         return x + a * jax.nn.sigmoid(b)
+
+
+class _GeluResidualUnit(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+        h = conv1x1(n // 2)(x)
+        h = jax.nn.gelu(h)
+        h = conv3x3(n // 2)(h)
+        h = jax.nn.gelu(h)
+        h = conv1x1(n)(h)
+        return jax.nn.gelu(h + x)
+
+
+class WinNoShiftAttention(nn.Module):
+    """STF-style window-attention gate block (reference
+    modules/layers/conv.py:37-77): trunk of GELU residual units gated by a
+    sigmoid branch that runs a non-shifted window attention first."""
+
+    dim: int
+    num_heads: int = 8
+    window: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        from .swin import WindowAttention, window_partition, window_reverse
+
+        a = x
+        for _ in range(3):
+            a = _GeluResidualUnit(self.dim)(a)
+        b, h, w, c = x.shape
+        attn_in = window_partition(x, self.window)
+        attn = WindowAttention(self.dim, self.num_heads, self.window)(attn_in)
+        bb = window_reverse(attn, self.window, h, w)
+        for _ in range(3):
+            bb = _GeluResidualUnit(self.dim)(bb)
+        bb = conv1x1(self.dim)(bb)
+        return x + a * jax.nn.sigmoid(bb)
