@@ -132,11 +132,78 @@ class BPGCodec:
         }
 
 
+class VTMCodec:
+    """VTM (VVC reference software) subprocess codec following the
+    reference's driver shape (utils/bench/VTM_codecs.py): EncoderApp /
+    DecoderApp over raw YUV, quality = QP.  Gated on the binaries +
+    VTM_CFG_DIR pointing at the encoder config."""
+
+    ext = ".bin"
+
+    def __init__(self, quality: int):
+        import os
+
+        self.qp = int(quality)
+        self.cfg = os.environ.get("VTM_CFG_DIR")
+        if (
+            shutil.which("EncoderApp") is None
+            or shutil.which("DecoderApp") is None
+            or not self.cfg
+        ):
+            raise RuntimeError(
+                "VTM needs EncoderApp/DecoderApp in PATH and VTM_CFG_DIR set"
+            )
+
+    def run(self, img: np.ndarray) -> dict:
+        from ..ops.color import rgb2ycbcr, ycbcr2rgb
+        import jax.numpy as jnp
+
+        h, w = img.shape[:2]
+        ycc = np.asarray(rgb2ycbcr(jnp.asarray(img)[None]))[0]
+        yuv = np.clip(ycc * 255, 0, 255).round().astype(np.uint8)
+        with tempfile.TemporaryDirectory() as td:
+            raw = Path(td) / "in.yuv"
+            out = Path(td) / "out.bin"
+            rec = Path(td) / "rec.yuv"
+            # 4:4:4 planar
+            raw.write_bytes(
+                b"".join(yuv[..., c].tobytes() for c in range(3))
+            )
+            t0 = time.time()
+            subprocess.run(
+                [
+                    "EncoderApp", "-c", f"{self.cfg}/encoder_intra_vtm.cfg",
+                    "-i", str(raw), "-o", "", "-b", str(out),
+                    "-wdt", str(w), "-hgt", str(h),
+                    "-fr", "1", "-f", "1", "-q", str(self.qp),
+                    "--InputChromaFormat=444", "--ConformanceWindowMode=1",
+                ],
+                check=True, capture_output=True,
+            )
+            enc_t = time.time() - t0
+            t0 = time.time()
+            subprocess.run(
+                ["DecoderApp", "-b", str(out), "-o", str(rec), "-d", "8"],
+                check=True, capture_output=True,
+            )
+            dec_t = time.time() - t0
+            data = np.frombuffer(rec.read_bytes(), np.uint8)
+            planes = data.reshape(3, h, w).transpose(1, 2, 0).astype(np.float32) / 255
+            rgb_rec = np.asarray(ycbcr2rgb(jnp.asarray(planes)[None]))[0]
+            nbytes = out.stat().st_size
+        p, m = _metrics(img, np.clip(rgb_rec, 0, 1))
+        return {
+            "psnr": p, "ms-ssim": m, "bpp": nbytes * 8 / (h * w),
+            "encoding_time": enc_t, "decoding_time": dec_t,
+        }
+
+
 CODECS = {
     "jpeg": JPEGCodec,
     "webp": WebPCodec,
     "jpeg2000": JPEG2000Codec,
     "bpg": BPGCodec,
+    "vtm": VTMCodec,
 }
 
 

@@ -166,6 +166,8 @@ class ElicCodec:
         return {
             "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
+            # the decoder MUST reproduce this bit-for-bit (shared programs)
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
         }
 
     # -- decompress ---------------------------------------------------------
@@ -265,6 +267,7 @@ class MasterCodec(ElicCodec):
         return {
             "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
             # 128 halves = 256 bytes of side info per image
             "side_info": (beta.astype(np.float16), gamma.astype(np.float16)),
         }
@@ -383,6 +386,7 @@ class MlicCodec(ElicCodec):
         return {
             "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
         }
 
     def decompress(self, strings, shape) -> dict:
@@ -505,6 +509,7 @@ class ChannelARCodec:
         return {
             "strings": [[p[0] for p in pairs], [p[1] for p in pairs]],
             "shape": (z_sym.shape[1], z_sym.shape[2]),
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
         }
 
     def decompress(self, strings, shape) -> dict:
@@ -661,6 +666,10 @@ class UnitedCodec:
             "r_strings": r_strings,
             "d_strings": d_strings,
             "shape": (rz_sym.shape[1], rz_sym.shape[2]),
+            "y_hat": {
+                "r": jnp.concatenate(r_prev, axis=-1),
+                "d": jnp.concatenate(d_prev, axis=-1),
+            },
         }
 
     def decompress(self, r_strings, d_strings, shape) -> dict:
@@ -719,4 +728,7 @@ class UnitedCodec:
         rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
         depth_y_hat = jnp.concatenate(d_prev, axis=-1)
         rgb_hat, depth_hat = self._synth(v, rgb_y_hat, depth_y_hat)
-        return {"x_hat": {"r": rgb_hat, "d": depth_hat}}
+        return {
+            "x_hat": {"r": rgb_hat, "d": depth_hat},
+            "y_hat": {"r": rgb_y_hat, "d": depth_y_hat},
+        }

@@ -27,6 +27,7 @@ from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
 from ..nn.layers import SubpelConv3x3, conv3x3
 from ..nn.swin import BasicLayer, PatchEmbed
 from ..ops import quantize_ste
+from ..ops.wire import _sym16
 
 
 class StfHyperAnalysis(nn.Module):

@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax.training import train_state
 
 
@@ -50,9 +51,19 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True):
         (_, (rd, aux)), grads = jax.value_and_grad(total_loss, has_aux=True)(
             state.params
         )
-        state = state.apply_gradients(grads=grads)
+        # NaN guard: a divergent batch (inf/nan loss or grads) is skipped
+        # instead of poisoning the parameters — the framework's failure-
+        # detection story for training (the reference has none, SURVEY §5).
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(rd["loss"]) & jnp.isfinite(grad_norm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        state = state.apply_gradients(grads=safe_grads)
         metrics = {k: v for k, v in rd.items()}
         metrics["aux_loss"] = aux
+        metrics["grad_norm"] = grad_norm
+        metrics["step_skipped"] = 1.0 - finite.astype(jnp.float32)
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -63,11 +63,16 @@ class TestElicRoundtrip:
         x_hat = np.asarray(dec["x_hat"])
         assert x_hat.shape == (1, 64, 64, 3)
 
-        # the decoded latent must match the estimation-forward latent:
-        # re-run forward (eval mode) and compare reconstructions
+        # hard invariant: the decoder reproduces the encoder's latent
+        # bit-for-bit (shared stage programs)
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        # soft invariant: close to the estimation forward (which may differ
+        # at quantization boundaries by fp jitter across programs)
         fwd = model.apply(variables, x, training=False)
         np.testing.assert_allclose(
-            x_hat, np.asarray(fwd["x_hat"]), rtol=1e-4, atol=1e-4
+            x_hat, np.asarray(fwd["x_hat"]), rtol=1e-3, atol=1e-3
         )
 
     def test_roundtrip_batch(self, elic_setup, rng):

@@ -69,6 +69,9 @@ class TestMasterCascade:
             (ad["up1"], ad["up2"], ad["up3"]),
             comp["side_info"],
         )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(comp["y_hat"])
+        )
         fwd = master.apply(
             mv, x, ad["x_hat"], ad["up1"], ad["up2"], ad["up3"], training=False
         )

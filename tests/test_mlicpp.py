@@ -40,9 +40,12 @@ class TestMLIC:
         x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), dtype=jnp.float32)
         c = codec.compress(x)
         d = codec.decompress(c["strings"], c["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(d["y_hat"]), np.asarray(c["y_hat"])
+        )
         fwd = model.apply(v, x, training=False)
         np.testing.assert_allclose(
-            np.asarray(d["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-4, atol=1e-4
+            np.asarray(d["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-3, atol=1e-3
         )
 
     def test_local_context_mask_anchor_only(self, mlic_setup, rng):

@@ -43,7 +43,13 @@ class TestSTFUnited:
         codec = UnitedCodec(model, v)
         c = codec.compress(rgb, depth)
         d = codec.decompress(c["r_strings"], c["d_strings"], c["shape"])
-        np.testing.assert_allclose(
-            np.asarray(d["x_hat"]["r"]), np.asarray(out["x_hat"]["r"]),
-            rtol=1e-3, atol=1e-3,
+        # hard invariant: decoder latents == encoder latents, bit for bit.
+        # (x_hat vs the estimation forward can differ materially here: one
+        # quantization-boundary flip under cross-program fp jitter smears
+        # globally through the swin synthesis.)
+        np.testing.assert_array_equal(
+            np.asarray(d["y_hat"]["r"]), np.asarray(c["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d["y_hat"]["d"]), np.asarray(c["y_hat"]["d"])
         )

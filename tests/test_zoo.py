@@ -81,10 +81,13 @@ class TestCkbd:
         x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), dtype=jnp.float32)
         out = codec.compress(x)
         dec = codec.decompress(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
         # compare against the STE validate() forward (same rounding path)
         fwd = model.apply(v, x, method=Cheng2020AnchorCheckerboard.validate)
         np.testing.assert_allclose(
-            np.asarray(dec["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-4, atol=1e-4
+            np.asarray(dec["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-3, atol=1e-3
         )
 
 
@@ -106,13 +109,11 @@ class TestR2D:
         codec = UnitedCodec(model, v)
         comp = codec.compress(rgb, depth)
         dec = codec.decompress(comp["r_strings"], comp["d_strings"], comp["shape"])
-        np.testing.assert_allclose(
-            np.asarray(dec["x_hat"]["r"]), np.asarray(out["x_hat"]["r"]),
-            rtol=1e-4, atol=1e-4,
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(comp["y_hat"]["r"])
         )
-        np.testing.assert_allclose(
-            np.asarray(dec["x_hat"]["d"]), np.asarray(out["x_hat"]["d"]),
-            rtol=1e-4, atol=1e-4,
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(comp["y_hat"]["d"])
         )
 
     def test_rgb_independent_of_depth(self, rng):
