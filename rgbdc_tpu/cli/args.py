@@ -34,6 +34,9 @@ def train_options(argv=None):
     p.add_argument("-c", "--checkpoint", type=str, default=None)
     p.add_argument("-c1", "--checkpoint_aux", type=str, default=None,
                    help="aux codec ckpt for the master cascade")
+    p.add_argument("--git", action="store_true",
+                   help="git add/commit the working tree per experiment "
+                        "(reference playground/train.py gitIt)")
     p.add_argument("--auto_restore", action="store_true")
     p.add_argument("--dist", action="store_true", help="data-parallel over the mesh")
     p.add_argument("--debug", action="store_true")

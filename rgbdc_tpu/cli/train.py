@@ -37,6 +37,13 @@ def main(argv=None):
         config = model_config()
     trainer_cls = pick_trainer(args)
     trainer = trainer_cls(args, config)
+    if getattr(args, "git", False):
+        import subprocess
+
+        subprocess.run(["git", "add", "-A"], check=False)
+        subprocess.run(
+            ["git", "commit", "-m", f"experiment: {trainer.exp_name}"], check=False
+        )
     trainer.fit(
         seed=args.seed,
         auto_restore=args.auto_restore,

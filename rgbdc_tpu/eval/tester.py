@@ -159,6 +159,13 @@ class TesterSingle(Tester):
             "AVG: "
             + " ".join(f"{k}={v.avg:.4f}" for k, v in meters.items())
         )
+        self._write_manifest()
+
+    def _write_manifest(self):
+        """Filename manifest of the written reconstructions (reference
+        tester_single.py:108-113)."""
+        recs = sorted(p.name for p in self.rec_dir.iterdir())
+        (self.exp_dir / "rec_manifest.txt").write_text("\n".join(recs) + "\n")
 
 
 class TesterUnited(Tester):

@@ -30,12 +30,20 @@ def make_dual_optimizer(
     learning_rate,
     aux_learning_rate: float = 1e-3,
     clip_max_norm: float = 1.0,
+    plateau: bool = False,
 ) -> optax.GradientTransformation:
-    """learning_rate may be a float or an optax schedule."""
+    """learning_rate may be a float or an optax schedule.  plateau=True adds
+    ReduceLROnPlateau semantics (reference --lr_scheduler plateau,
+    trainer.py:100-106): the trainer feeds the validation loss into the
+    optimizer state via ``plateau_value`` in update's extra args."""
     main_chain = []
     if clip_max_norm and clip_max_norm > 0:
         main_chain.append(optax.clip_by_global_norm(clip_max_norm))
     main_chain.append(optax.adam(learning_rate))
+    if plateau:
+        main_chain.append(
+            optax.contrib.reduce_on_plateau(factor=0.3, patience=4, cooldown=0)
+        )
     return optax.multi_transform(
         {"main": optax.chain(*main_chain), "aux": optax.adam(aux_learning_rate)},
         _label_params,

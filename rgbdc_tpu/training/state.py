@@ -33,10 +33,12 @@ def create_train_state(model, rng, example_batch, tx) -> TrainState:
     )
 
 
-def make_train_step(model, loss_fn: Callable, donate: bool = True):
+def make_train_step(model, loss_fn: Callable, donate: bool = True,
+                    plateau: bool = False):
     """loss_fn(output, *batch) -> dict with 'loss'.
 
-    Returns step(state, batch, rng) -> (state, metrics dict).
+    plateau=True threads the loss into the optimizer update (needed by
+    reduce_on_plateau). Returns step(state, batch, rng) -> (state, metrics).
     """
 
     def step(state: TrainState, batch, rng):
@@ -59,7 +61,16 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True):
         safe_grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        state = state.apply_gradients(grads=safe_grads)
+        if plateau:
+            updates, new_opt_state = state.tx.update(
+                safe_grads, state.opt_state, state.params, value=rd["loss"]
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                step=state.step + 1, params=new_params, opt_state=new_opt_state
+            )
+        else:
+            state = state.apply_gradients(grads=safe_grads)
         metrics = {k: v for k, v in rd.items()}
         metrics["aux_loss"] = aux
         metrics["grad_norm"] = grad_norm

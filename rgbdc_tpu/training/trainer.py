@@ -74,14 +74,16 @@ class Trainer:
         self.train_loader, self.val_loader = self.init_dataset()
 
         steps_per_epoch = max(len(self.train_loader), 1)
-        if getattr(args, "lr_scheduler", "multistep") == "multistep":
-            self.lr_schedule = multistep_lr(args.lr, self.epochs, steps_per_epoch)
-        else:
+        self.plateau = getattr(args, "lr_scheduler", "multistep") == "plateau"
+        if self.plateau:
             self.lr_schedule = args.lr
+        else:
+            self.lr_schedule = multistep_lr(args.lr, self.epochs, steps_per_epoch)
         self.tx = make_dual_optimizer(
             self.lr_schedule,
             aux_learning_rate=getattr(args, "aux_learning_rate", 1e-3),
             clip_max_norm=getattr(args, "clip_max_norm", 1.0),
+            plateau=self.plateau,
         )
 
         self.mesh = get_mesh() if self.dist else None
@@ -167,7 +169,7 @@ class Trainer:
         if self.mesh is not None:
             state = replicate(self.mesh, state)
 
-        step_fn = make_train_step(model, self.loss_fn, donate=True)
+        step_fn = make_train_step(model, self.loss_fn, donate=True, plateau=self.plateau)
         eval_fn = make_eval_step(model, self.loss_fn)
         rng = jax.random.PRNGKey(seed + 1)
 
