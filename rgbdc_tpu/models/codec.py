@@ -52,6 +52,16 @@ class CodecTables:
 _POOL = ThreadPoolExecutor(max_workers=int(os.environ.get("RGBDC_CODER_THREADS", "8")))
 
 
+def _start_host_copy(tree):
+    """Kick off async device->host copies for every array in the tree."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
+    return tree
+
+
 def _tmap(fn, n):
     """Map fn over range(n) on the coder thread pool (ctypes releases the
     GIL, so per-image rANS calls run truly parallel)."""
@@ -145,8 +155,8 @@ class ElicCodec:
             )
             sym_na = self._sym_na[i](v, y, mn_na)
             y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
-            groups.append((sym_a, idx_a))
-            groups.append((sym_na, idx_na))
+            groups.append(_start_host_copy((sym_a, idx_a)))
+            groups.append(_start_host_copy((sym_na, idx_na)))
 
         z_sym, groups = jax.device_get((z_sym_dev, groups))
 
@@ -247,8 +257,8 @@ class MasterCodec(ElicCodec):
             )
             sym_na = self._sym_na[i](v, y, mn_na)
             y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
-            groups.append((sym_a, idx_a))
-            groups.append((sym_na, idx_na))
+            groups.append(_start_host_copy((sym_a, idx_a)))
+            groups.append(_start_host_copy((sym_na, idx_na)))
 
         z_sym, groups, beta, gamma = jax.device_get((z_sym_dev, groups, beta, gamma))
         b = z_sym.shape[0]
@@ -366,8 +376,8 @@ class MlicCodec(ElicCodec):
             y_hat_slices.append(
                 self._merge_i[i](v, anchor_hat, sym_na, mn_na, prev, hyper)
             )
-            groups.append((sym_a, idx_a))
-            groups.append((sym_na, idx_na))
+            groups.append(_start_host_copy((sym_a, idx_a)))
+            groups.append(_start_host_copy((sym_na, idx_na)))
 
         z_sym, groups = jax.device_get((z_sym_dev, groups))
         b = z_sym.shape[0]
@@ -490,7 +500,7 @@ class ChannelARCodec:
             idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
             sym = self._sym[i](v, y, mu)
             y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
-            groups.append((sym, idx_i))
+            groups.append(_start_host_copy((sym, idx_i)))
 
         z_sym, groups = jax.device_get((z_sym_dev, groups))
         b = z_sym.shape[0]
@@ -633,8 +643,14 @@ class UnitedCodec:
             d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
             r_prev.append(r_hat_slice)
             d_prev.append(d_hat_slice)
-            r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
-            d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
+            r_groups += [
+                _start_host_copy((r_sym_a, idx1)),
+                _start_host_copy((r_sym_na, idx3)),
+            ]
+            d_groups += [
+                _start_host_copy((d_sym_a, idx2)),
+                _start_host_copy((d_sym_na, idx4)),
+            ]
 
         rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
             (rz_sym, dz_sym, r_groups, d_groups)

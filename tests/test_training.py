@@ -82,6 +82,24 @@ class TestDualOptimizer:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_plateau_optimizer_runs(self):
+        model, _ = _setup()
+        tx = make_dual_optimizer(1e-4, plateau=True)
+        x0 = jnp.zeros((2, 64, 64, 3))
+        state = create_train_state(model, jax.random.PRNGKey(0), (x0,), tx)
+        step = make_train_step(
+            model,
+            lambda out, x: rate_distortion_loss_single(out, x, LAMBDAS[2]),
+            donate=False,
+            plateau=True,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(5).uniform(size=(2, 64, 64, 3)), dtype=jnp.float32
+        )
+        state2, m = step(state, (x,), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state2.step) == 1
+
     def test_multistep_schedule(self):
         sched = multistep_lr(1e-4, total_epochs=100, steps_per_epoch=10, gamma=0.1)
         assert np.isclose(sched(0), 1e-4)
