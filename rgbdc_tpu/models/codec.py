@@ -50,6 +50,8 @@ class CodecTables:
 
 
 _POOL = ThreadPoolExecutor(max_workers=int(os.environ.get("RGBDC_CODER_THREADS", "8")))
+# separate pool for batch-chunk pipelining (avoids nested-pool starvation)
+_CHUNK_POOL = ThreadPoolExecutor(max_workers=4)
 
 
 def _start_host_copy(tree):
@@ -68,6 +70,11 @@ def _tmap(fn, n):
     if n == 1:
         return [fn(0)]
     return list(_POOL.map(fn, range(n)))
+
+
+def _chunk_bounds(n: int, n_chunks: int):
+    k = (n + n_chunks - 1) // n_chunks
+    return [(i, min(i + k, n)) for i in range(0, n, k)]
 
 
 def eb_channel_indexes(shape) -> np.ndarray:
@@ -747,4 +754,55 @@ class UnitedCodec:
         return {
             "x_hat": {"r": rgb_hat, "d": depth_hat},
             "y_hat": {"r": rgb_y_hat, "d": depth_y_hat},
+        }
+
+    # -- chunked pipelining ---------------------------------------------------
+    #
+    # The host link is RTT-bound (~25 ms per blocking dispatch through the
+    # tunnel); splitting the batch into chunks on separate threads hides one
+    # chunk's host coding + transfers under another chunk's device stages.
+
+    def compress_pipelined(self, rgb, depth, chunks: int = 2) -> dict:
+        b = rgb.shape[0]
+        if chunks <= 1 or b < chunks:
+            return self.compress(rgb, depth)
+        bounds = _chunk_bounds(b, chunks)
+        outs = list(
+            _CHUNK_POOL.map(
+                lambda se: self.compress(rgb[se[0] : se[1]], depth[se[0] : se[1]]),
+                bounds,
+            )
+        )
+        return {
+            "r_strings": [x for o in outs for x in o["r_strings"]],
+            "d_strings": [x for o in outs for x in o["d_strings"]],
+            "shape": outs[0]["shape"],
+            "y_hat": {
+                "r": jnp.concatenate([o["y_hat"]["r"] for o in outs], axis=0),
+                "d": jnp.concatenate([o["y_hat"]["d"] for o in outs], axis=0),
+            },
+        }
+
+    def decompress_pipelined(self, r_strings, d_strings, shape, chunks: int = 2):
+        b = len(r_strings)
+        if chunks <= 1 or b < chunks:
+            return self.decompress(r_strings, d_strings, shape)
+        bounds = _chunk_bounds(b, chunks)
+        outs = list(
+            _CHUNK_POOL.map(
+                lambda se: self.decompress(
+                    r_strings[se[0] : se[1]], d_strings[se[0] : se[1]], shape
+                ),
+                bounds,
+            )
+        )
+        return {
+            "x_hat": {
+                "r": jnp.concatenate([o["x_hat"]["r"] for o in outs], axis=0),
+                "d": jnp.concatenate([o["x_hat"]["d"] for o in outs], axis=0),
+            },
+            "y_hat": {
+                "r": jnp.concatenate([o["y_hat"]["r"] for o in outs], axis=0),
+                "d": jnp.concatenate([o["y_hat"]["d"] for o in outs], axis=0),
+            },
         }
