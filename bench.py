@@ -34,8 +34,8 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
-    pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
-    chunks = int(os.environ.get("BENCH_CHUNKS", "2"))
+    pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
+    chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
 
     model = ELICUnited()
     rng = np.random.default_rng(0)
