@@ -102,6 +102,25 @@ class Trainer:
         """Map a loader batch to model inputs (tuple)."""
         return batch
 
+    def step_fn_for_epoch(self, epoch: int):
+        """Jitted train step for this epoch (cached); subclasses may switch
+        objectives mid-training (united depth-loss warmup)."""
+        key = self.loss_key_for_epoch(epoch)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.model,
+                self.loss_fn_for_key(key),
+                donate=True,
+                plateau=self.plateau,
+            )
+        return self._step_cache[key]
+
+    def loss_key_for_epoch(self, epoch: int) -> str:
+        return "default"
+
+    def loss_fn_for_key(self, key: str):
+        return self.loss_fn
+
     # -- setup --------------------------------------------------------------
 
     def init_dataset(self):
@@ -169,13 +188,14 @@ class Trainer:
         if self.mesh is not None:
             state = replicate(self.mesh, state)
 
-        step_fn = make_train_step(model, self.loss_fn, donate=True, plateau=self.plateau)
+        self._step_cache = {}
         eval_fn = make_eval_step(model, self.loss_fn)
         rng = jax.random.PRNGKey(seed + 1)
 
         best_loss = float("inf")
         for epoch in range(start_epoch, self.epochs):
             t0 = time.time()
+            step_fn = self.step_fn_for_epoch(epoch)
             state, rng = self.train_one_epoch(state, step_fn, rng, epoch)
             val_loss = self.validate_one_epoch(state, eval_fn, epoch)
             is_best = val_loss < best_loss
@@ -265,18 +285,33 @@ class TrainerUnited(Trainer):
         return build_model(self.args.model, self.config)
 
     def loss_fn(self, output, *batch):
-        rgb, depth = batch
-        # warmup handling: composite depth loss only after warmup (the jitted
-        # step bakes one branch; warmup_step=0 => composite from the start
-        # when enabled, matching the reference default args)
-        return rate_distortion_loss_united(
-            output,
-            rgb,
-            depth,
-            self.rgb_lmbda,
-            self.depth_lmbda,
-            use_depth_composite=self.use_depth_composite and self.warmup_step == 0,
+        return self.loss_fn_for_key("composite" if self.use_depth_composite else "mse")(
+            output, *batch
         )
+
+    def loss_key_for_epoch(self, epoch: int) -> str:
+        """Depth distortion switches from MSE to the composite d_loss after
+        warmup_step optimizer steps (reference rd_loss.py:110-118); the
+        switch lands on the first epoch past the boundary (one compiled
+        step function per phase)."""
+        if not self.use_depth_composite:
+            return "mse"
+        steps_per_epoch = max(len(self.train_loader), 1)
+        return "composite" if epoch * steps_per_epoch >= self.warmup_step else "mse"
+
+    def loss_fn_for_key(self, key: str):
+        def fn(output, *batch):
+            rgb, depth = batch
+            return rate_distortion_loss_united(
+                output,
+                rgb,
+                depth,
+                self.rgb_lmbda,
+                self.depth_lmbda,
+                use_depth_composite=(key == "composite"),
+            )
+
+        return fn
 
 
 class TrainerConcat(TrainerSingle):
