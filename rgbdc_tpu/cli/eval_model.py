@@ -57,13 +57,9 @@ def main(argv=None):
         training=True,
     )
     if args.checkpoint:
-        from flax import serialization
+        from ..training.checkpoint import load_params
 
-        with open(args.checkpoint, "rb") as f:
-            payload = serialization.from_bytes(
-                {"params": variables["params"]}, f.read()
-            )
-        variables = {"params": payload["params"]}
+        variables = {"params": load_params(args.checkpoint, variables["params"])}
 
     ds = ImageFolder(args.dataset_path, channel=in_ch, debug=args.debug)
     results = {"psnr": [], "ms-ssim": [], "bpp": [], "enc_time": [], "dec_time": []}

@@ -55,9 +55,9 @@ def main(argv=None):
         *inputs,
         training=True,
     )
-    with open(args.checkpoint, "rb") as f:
-        payload = serialization.from_bytes({"params": variables["params"]}, f.read())
-    variables = {"params": payload["params"]}
+    from ..training.checkpoint import load_params
+
+    variables = {"params": load_params(args.checkpoint, variables["params"])}
 
     tables = CodecTables.build(variables, eb_names=eb_names)  # the "update()"
 

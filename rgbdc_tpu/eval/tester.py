@@ -84,15 +84,18 @@ class Tester:
             training=True,
         )
         ckpt = getattr(self.args, "checkpoint", None)
+        if not ckpt:
+            # default to the experiment's best checkpoint, like the
+            # reference tester (testing/tester.py:100-108)
+            cand = self.exp_dir / "checkpoints" / "checkpoint_best_loss.msgpack"
+            ckpt = str(cand) if cand.exists() else None
         if ckpt:
-            from flax import serialization
+            from ..training.checkpoint import load_params
 
-            with open(ckpt, "rb") as f:
-                payload = serialization.from_bytes(
-                    {"params": variables["params"]}, f.read()
-                )
-            variables = {"params": payload["params"]}
+            variables = {"params": load_params(ckpt, variables["params"])}
             self.logger.info(f"restored {ckpt}")
+        else:
+            self.logger.warning("no checkpoint given/found — random weights")
         return variables
 
 

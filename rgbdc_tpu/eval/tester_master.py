@@ -43,13 +43,9 @@ class TesterMaster(Tester):
         )
         ckpt = getattr(args, "checkpoint_aux", None)
         if ckpt:
-            from flax import serialization
+            from ..training.checkpoint import load_params
 
-            with open(ckpt, "rb") as f:
-                payload = serialization.from_bytes(
-                    {"params": aux_vars["params"]}, f.read()
-                )
-            aux_vars = {"params": payload["params"]}
+            aux_vars = {"params": load_params(ckpt, aux_vars["params"])}
             self.logger.info(f"aux codec restored from {ckpt}")
         self.aux_codec = ElicCodec(self.aux_model, aux_vars)
 

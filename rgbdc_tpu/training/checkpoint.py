@@ -40,6 +40,18 @@ def save_checkpoint(state, epoch: int, loss: float, ckpt_dir: str,
     return str(latest)
 
 
+def load_params(path: str, params_template):
+    """Load just the params tree from any checkpoint file — tolerant of the
+    full {params, opt_state, step} payloads save_checkpoint writes AND of
+    bare {params} exports (update_model artifacts)."""
+    from flax import serialization as ser
+
+    with open(path, "rb") as f:
+        raw = ser.msgpack_restore(f.read())
+    params = raw.get("params", raw)
+    return ser.from_state_dict(params_template, params)
+
+
 def restore_checkpoint(state, path: str, params_only: bool = False):
     """Returns (state, meta dict). ``state`` must be a template with the
     right tree structure (create_train_state output)."""

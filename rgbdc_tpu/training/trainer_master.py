@@ -48,13 +48,11 @@ class TrainerMaster(TrainerSingle):
         )
         ckpt = getattr(self.args, "checkpoint_aux", None)
         if ckpt:
-            from flax import serialization
+            from .checkpoint import load_params
 
-            with open(ckpt, "rb") as f:
-                payload = serialization.from_bytes(
-                    {"params": self.aux_variables["params"]}, f.read()
-                )
-            self.aux_variables = {"params": payload["params"]}
+            self.aux_variables = {
+                "params": load_params(ckpt, self.aux_variables["params"])
+            }
             self.logger.info(f"aux codec restored from {ckpt}")
 
     def batch_inputs(self, batch):
