@@ -166,6 +166,9 @@ class Trainer:
 
     def fit(self, seed: int = 0, auto_restore: bool = False,
             ckpt_path: str | None = None, restore_epoch: int = 0):
+        from ..utils.profiling import setup_seed
+
+        setup_seed(seed)  # host-side RNGs (reference trainer.py:143-147)
         model = self.model
         example = self._example_batch()
         state = create_train_state(model, jax.random.PRNGKey(seed), example, self.tx)
@@ -240,12 +243,36 @@ class Trainer:
     def validate_one_epoch(self, state, eval_fn, epoch) -> float:
         meter = AverageMeter()
         params = _unreplicate(state).params
-        for batch in self.val_loader:
+        rec_dir = self.exp_dir / "val_rec"
+        for bi, batch in enumerate(self.val_loader):
             inputs = self.batch_inputs(batch)
-            rd, _ = eval_fn(params, inputs)
+            rd, out = eval_fn(params, inputs)
             meter.update(float(rd["loss"]), n=inputs[0].shape[0])
+            # save every 20th reconstruction (reference trainer_single.py:116-118)
+            if bi % 20 == 0 and not getattr(self.args, "no_val_rec", False):
+                self._save_val_rec(out, rec_dir, epoch, bi)
         self.tb_writer().add_scalar("val/loss", meter.avg, epoch)
         return meter.avg
+
+    def _save_val_rec(self, out, rec_dir, epoch, bi):
+        try:
+            from PIL import Image
+
+            rec_dir.mkdir(parents=True, exist_ok=True)
+            x_hat = out["x_hat"]
+            imgs = (
+                {"r": x_hat["r"], "d": x_hat["d"]} if isinstance(x_hat, dict)
+                else {"x": x_hat}
+            )
+            for tag, im in imgs.items():
+                arr = np.clip(np.asarray(im)[0], 0, 1)
+                if arr.shape[-1] == 1:
+                    arr = arr[..., 0]
+                Image.fromarray((arr * 255).round().astype(np.uint8)).save(
+                    rec_dir / f"e{epoch}_b{bi}_{tag}.png"
+                )
+        except Exception:  # pragma: no cover — reconstruction dumps are best-effort
+            pass
 
 
 def _unreplicate(state):
