@@ -232,6 +232,60 @@ void decode_symbols(Decoder *dec, const IdxT *indexes, int64_t n,
   dec->ptr = ptr;
 }
 
+// --- interleaved rans32 (lane-parallel format) -------------------------------
+//
+// N-lane interleaved rANS with 32-bit states and 16-bit renormalization
+// words in ONE shared stream: the encoder walks symbols in reverse and
+// emits words backward, so the decoder — walking forward, lane = i % L —
+// consumes words in exactly stream order with a single shared pointer.
+// This is the wire format a vectorized (TPU) decoder can consume: per
+// step, every renormalizing lane takes the next word(s) in lane order.
+//
+// Layout: [L x uint32 final states][uint16 words...]. Same 16-bit
+// probabilities and 4-bit bypass escapes as the LIFO coder.
+
+constexpr uint32_t kRans32L = 1u << 16;
+
+inline void enc32_put(uint32_t &x, uint16_t *&ptr, uint32_t start, uint32_t freq) {
+  const uint32_t x_max = freq << 16;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint16_t>(x);
+    x >>= 16;
+  }
+  x = ((x / freq) << kPrecision) + (x % freq) + start;
+}
+
+inline void enc32_put_bits(uint32_t &x, uint16_t *&ptr, uint32_t val, uint32_t nbits) {
+  const uint32_t freq = 1u << (16 - nbits);
+  const uint32_t x_max = freq << 16;
+  if (x >= x_max) {
+    *--ptr = static_cast<uint16_t>(x);
+    x >>= 16;
+  }
+  x = (x << nbits) | val;
+}
+
+inline uint32_t dec32_get(uint32_t x) { return x & ((1u << kPrecision) - 1); }
+
+inline void dec32_advance(uint32_t &x, const uint16_t *&ptr, uint32_t start,
+                          uint32_t freq) {
+  x = freq * (x >> kPrecision) + (x & ((1u << kPrecision) - 1)) - start;
+  if (x < kRans32L) x = (x << 16) | *ptr++;
+}
+
+inline uint32_t dec32_get_bits(uint32_t &x, const uint16_t *&ptr, uint32_t nbits) {
+  const uint32_t val = x & ((1u << nbits) - 1);
+  x >>= nbits;
+  if (x < kRans32L) x = (x << 16) | *ptr++;
+  return val;
+}
+
+struct Sym32 {
+  uint16_t start;
+  uint16_t range;
+  bool bypass;
+};
+
 }  // namespace
 
 // --- C ABI ------------------------------------------------------------------
@@ -288,6 +342,121 @@ void rans_decoder_decode_u8i16(void *dec, const uint8_t *indexes, int64_t n,
                                int16_t *out) {
   decode_symbols(static_cast<Decoder *>(dec), indexes, n, cdfs, cdf_stride,
                  cdf_lengths, offsets, out);
+}
+
+// --- interleaved rans32 ABI --------------------------------------------------
+
+// Encode n symbols into the lane-interleaved format. Returns bytes written
+// or -needed if capacity is too small. Layout: [lanes x u32 states][u16...].
+int64_t rans32_interleaved_encode(const int16_t *symbols, const uint8_t *indexes,
+                                  int64_t n, int32_t lanes, const int32_t *cdfs,
+                                  int32_t cdf_stride, const int32_t *cdf_lengths,
+                                  const int32_t *offsets, uint8_t *out,
+                                  int64_t capacity) {
+  std::vector<uint32_t> state(lanes, kRans32L);
+  // worst case: 6 sub-symbols/symbol, <=1 word each, plus slack
+  std::vector<uint16_t> buf(static_cast<size_t>(7 * n + 16 * lanes + 64));
+  uint16_t *ptr = buf.data() + buf.size();
+
+  Sym32 subs[24];
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t lane = static_cast<int32_t>(i % lanes);
+    const int32_t cdf_idx = indexes[i];
+    const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+    const int32_t max_value = cdf_lengths[cdf_idx] - 2;
+
+    int32_t value = static_cast<int32_t>(symbols[i]) - offsets[cdf_idx];
+    uint64_t raw_val = 0;
+    if (value < 0) {
+      raw_val = 2ull * static_cast<uint64_t>(-static_cast<int64_t>(value)) - 1;
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = 2ull * static_cast<uint64_t>(value - max_value);
+      value = max_value;
+    }
+
+    // sub-symbols in DECODE order: cdf symbol, count chain, raw chunks
+    int ns = 0;
+    subs[ns++] = {static_cast<uint16_t>(cdf[value]),
+                  static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false};
+    if (value == max_value) {
+      int32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      int32_t val = n_bypass;
+      while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+        subs[ns++] = {static_cast<uint16_t>(kMaxBypassVal), 0, true};
+        val -= kMaxBypassVal;
+      }
+      subs[ns++] = {static_cast<uint16_t>(val), 0, true};
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        subs[ns++] = {
+            static_cast<uint16_t>((raw_val >> (j * kBypassPrecision)) & kMaxBypassVal),
+            0, true};
+      }
+    }
+    // encode in reverse of decode order
+    for (int k = ns - 1; k >= 0; --k) {
+      if (subs[k].bypass) {
+        enc32_put_bits(state[lane], ptr, subs[k].start, kBypassPrecision);
+      } else {
+        enc32_put(state[lane], ptr, subs[k].start, subs[k].range);
+      }
+    }
+  }
+
+  const int64_t nwords = buf.data() + buf.size() - ptr;
+  const int64_t nbytes = 4 * lanes + 2 * nwords;
+  if (nbytes > capacity) return -nbytes;
+  std::memcpy(out, state.data(), 4 * lanes);
+  std::memcpy(out + 4 * lanes, ptr, 2 * nwords);
+  return nbytes;
+}
+
+// Mirror decode. Returns 0 on success.
+int32_t rans32_interleaved_decode(const uint8_t *data, int64_t nbytes,
+                                  const uint8_t *indexes, int64_t n, int32_t lanes,
+                                  const int32_t *cdfs, int32_t cdf_stride,
+                                  const int32_t *cdf_lengths, const int32_t *offsets,
+                                  int16_t *out) {
+  std::vector<uint32_t> state(lanes);
+  std::memcpy(state.data(), data, 4 * lanes);
+  const uint16_t *ptr = reinterpret_cast<const uint16_t *>(data + 4 * lanes);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t lane = static_cast<int32_t>(i % lanes);
+    const int32_t cdf_idx = indexes[i];
+    const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[cdf_idx];
+    const int32_t max_value = cdf_len - 2;
+
+    const uint32_t cum = dec32_get(state[lane]);
+    const int32_t s = find_symbol(cdf, cdf_len, cum);
+    dec32_advance(state[lane], ptr, cdf[s], cdf[s + 1] - cdf[s]);
+
+    int32_t value = s;
+    if (value == max_value) {
+      uint32_t val = dec32_get_bits(state[lane], ptr, kBypassPrecision);
+      int32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec32_get_bits(state[lane], ptr, kBypassPrecision);
+        n_bypass += val;
+      }
+      uint64_t raw_val = 0;
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= static_cast<uint64_t>(dec32_get_bits(state[lane], ptr,
+                                                        kBypassPrecision))
+                   << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = static_cast<int16_t>(value + offsets[cdf_idx]);
+  }
+  return 0;
 }
 
 // pmf [n] float32 -> cdf [n+1] int32 summing to 2^precision.

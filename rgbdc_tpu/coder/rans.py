@@ -85,6 +85,17 @@ def _load() -> ctypes.CDLL:
         lib.pmf_to_quantized_cdf.restype = ctypes.c_int32
         lib.pmf_to_quantized_cdf.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, i32p]
 
+        lib.rans32_interleaved_encode.restype = ctypes.c_int64
+        lib.rans32_interleaved_encode.argtypes = [
+            i16p, u8p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int64,
+        ]
+        lib.rans32_interleaved_decode.restype = ctypes.c_int32
+        lib.rans32_interleaved_decode.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int32,
+            i32p, ctypes.c_int32, i32p, i32p, i16p,
+        ]
+
         _lib = lib
         return _lib
 
@@ -224,4 +235,51 @@ def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = 16) -> np.ndarray:
     )
     if rc != 0:
         raise ValueError(f"pmf_to_quantized_cdf failed with code {rc}")
+    return out
+
+
+def interleaved_encode(symbols, indexes, table: CdfTable, lanes: int = 128) -> bytes:
+    """Lane-interleaved rans32 encode (the wire format a vectorized/TPU
+    decoder consumes: one shared word stream, lane = i % lanes)."""
+    lib = _load()
+    symbols = np.ascontiguousarray(np.asarray(symbols).reshape(-1), dtype=np.int16)
+    indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), dtype=np.uint8)
+    assert symbols.shape == indexes.shape
+    capacity = 14 * symbols.size + 32 * lanes + 128
+    out = np.empty(capacity, dtype=np.uint8)
+    nbytes = lib.rans32_interleaved_encode(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        symbols.size,
+        lanes,
+        _i32(table.cdf),
+        table.cdf.shape[1],
+        _i32(table.cdf_length),
+        _i32(table.offset),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        capacity,
+    )
+    assert nbytes > 0, "interleaved encode buffer too small"
+    return out[:nbytes].tobytes()
+
+
+def interleaved_decode(data: bytes, indexes, table: CdfTable, lanes: int = 128):
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf)
+    indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), dtype=np.uint8)
+    out = np.empty(indexes.size, dtype=np.int16)
+    rc = lib.rans32_interleaved_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        indexes.size,
+        lanes,
+        _i32(table.cdf),
+        table.cdf.shape[1],
+        _i32(table.cdf_length),
+        _i32(table.offset),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    assert rc == 0
     return out
