@@ -245,22 +245,25 @@ def interleaved_encode(symbols, indexes, table: CdfTable, lanes: int = 128) -> b
     symbols = np.ascontiguousarray(np.asarray(symbols).reshape(-1), dtype=np.int16)
     indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), dtype=np.uint8)
     assert symbols.shape == indexes.shape
-    capacity = 14 * symbols.size + 32 * lanes + 128
-    out = np.empty(capacity, dtype=np.uint8)
-    nbytes = lib.rans32_interleaved_encode(
-        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        symbols.size,
-        lanes,
-        _i32(table.cdf),
-        table.cdf.shape[1],
-        _i32(table.cdf_length),
-        _i32(table.offset),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        capacity,
-    )
-    assert nbytes > 0, "interleaved encode buffer too small"
-    return out[:nbytes].tobytes()
+    # C worst case: 4*lanes state header + 2*(7*n + 16*lanes + 64) body
+    capacity = 14 * symbols.size + 36 * lanes + 128
+    while True:
+        out = np.empty(capacity, dtype=np.uint8)
+        nbytes = lib.rans32_interleaved_encode(
+            symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            symbols.size,
+            lanes,
+            _i32(table.cdf),
+            table.cdf.shape[1],
+            _i32(table.cdf_length),
+            _i32(table.offset),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            capacity,
+        )
+        if nbytes >= 0:
+            return out[:nbytes].tobytes()
+        capacity = -nbytes  # encoder reports required size; retry
 
 
 def interleaved_decode(data: bytes, indexes, table: CdfTable, lanes: int = 128):

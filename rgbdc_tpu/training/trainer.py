@@ -61,9 +61,10 @@ class Trainer:
         self.dist = getattr(args, "dist", False)
 
         exp_root = "experiments_test" if self.debug else "experiments"
+        ds_path = getattr(args, "dataset_path", None)
+        ds_name = Path(str(ds_path)).name if ds_path else "synthetic"
         self.exp_name = (
-            f"{Path(str(args.dataset_path)).name}_{self.modal_prefix}"
-            f"{args.model}_{args.quality}"
+            f"{ds_name}_{self.modal_prefix}{args.model}_{args.quality}"
         )
         self.exp_dir = Path(getattr(args, "experiments_dir", exp_root)) / self.exp_name
         self.ckpt_dir = self.exp_dir / "checkpoints"
