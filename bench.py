@@ -2,10 +2,15 @@
 640x480 RGB-D images (the reference's eval protocol: pad to x64 ->
 compress -> bitstreams -> decompress; testing/tester_united.py).
 
+Default wire format is the lane-split rans32 format (BENCH_WIRE=lanes):
+the decoder is ONE jitted on-device program (stage CNNs + lockstep rans
+scans, coder/rans_tpu.py) so only compressed bytes cross the host link.
+BENCH_WIRE=compat measures the reference-container path (host-serial
+decode, 20 blocking RTTs per batch).
+
 Measures SUSTAINED throughput with a two-stage pipeline: compress of batch
-i+1 overlaps decompress of batch i (encode is device-bound, decode is
-host-link-bound — the overlap reflects production serving).  Set
-BENCH_PIPELINE=0 for the strictly-serial variant.
+i+1 overlaps decompress of batch i.  Set BENCH_PIPELINE=0 for the
+strictly-serial variant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 200 img/s on v5e-8 => 25 img/s per chip; vs_baseline is
@@ -34,8 +39,9 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
-    pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
+    pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
     chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
+    wire = os.environ.get("BENCH_WIRE", "lanes")
 
     model = ELICUnited()
     rng = np.random.default_rng(0)
@@ -54,18 +60,37 @@ def main():
 
     codec = UnitedCodec(model, variables)
 
-    def compress(r, d):
-        return codec.compress_pipelined(r, d, chunks=chunks)
+    if wire == "lanes":
 
-    def decompress(rs, ds, shape):
-        return codec.decompress_pipelined(rs, ds, shape, chunks=chunks)
+        def compress(r, d):
+            out = codec.compress_lanes(r, d)
+            return out | {"r_strings": out["r_streams"], "d_strings": out["d_streams"]}
+
+        def decompress(rs, ds, shape):
+            return codec.decompress_lanes(rs, ds, shape)
+
+    else:
+
+        def compress(r, d):
+            return codec.compress_pipelined(r, d, chunks=chunks)
+
+        def decompress(rs, ds, shape):
+            return codec.decompress_pipelined(rs, ds, shape, chunks=chunks)
 
     # warmup (compiles everything)
     t0 = time.time()
     out = compress(rgb, depth)
     dec = decompress(out["r_strings"], out["d_strings"], out["shape"])
     jax.block_until_ready(dec["x_hat"]["r"])
-    print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    # correctness gate on the real device: the decoded latents must equal
+    # the encoder's bit for bit, else the throughput number is meaningless
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+    )
+    print(f"warmup: {time.time()-t0:.1f}s (roundtrip bit-exact)", file=sys.stderr)
 
     with trace_if_enabled():
         if pipeline:

@@ -459,6 +459,219 @@ int32_t rans32_interleaved_decode(const uint8_t *data, int64_t nbytes,
   return 0;
 }
 
+// --- lane-split rans32 (the TPU decoder's wire format) -----------------------
+//
+// Unlike the shared-stream interleaved format above, every lane here is a
+// fully INDEPENDENT rans32 stream: own 32-bit state, own word buffer.  That
+// removes all cross-lane word-ordering dependencies, which is what makes a
+// lockstep vectorized (lax.scan) decoder possible — each lane advances
+// through its own words regardless of how many bypass chunks other lanes
+// consumed (the shared-stream format would serialize lanes whenever any
+// lane escapes).
+//
+// Symbols are assigned to lanes PER CODING GROUP: symbol j of group g goes
+// to lane (j % lanes); a lane's sequence is the concatenation of its
+// sub-sequences over groups in coding order.  The decoder therefore
+// processes each group as ceil(len/lanes) lockstep rows, carrying per-lane
+// state/word-position across groups — exactly the structure of the
+// phase-serial checkerboard schedule (SURVEY §3.5).
+//
+// Probability model is unchanged: 16-bit quantized CDFs, 4-bit bypass
+// escapes for out-of-range symbols (reference rans_interface.cpp:119-163).
+//
+// Container: [lanes x u32 final states][lanes x u32 word counts]
+//            [concatenated u16 words, lane-major].
+
+namespace {
+
+// decode-order sub-symbols for one (symbol, cdf) pair; returns count (<=24)
+inline int build_subs32(int32_t symbol, const int32_t *cdf, int32_t max_value,
+                        int32_t offset, Sym32 *subs) {
+  int32_t value = symbol - offset;
+  uint64_t raw_val = 0;
+  if (value < 0) {
+    raw_val = 2ull * static_cast<uint64_t>(-static_cast<int64_t>(value)) - 1;
+    value = max_value;
+  } else if (value >= max_value) {
+    raw_val = 2ull * static_cast<uint64_t>(value - max_value);
+    value = max_value;
+  }
+  int ns = 0;
+  subs[ns++] = {static_cast<uint16_t>(cdf[value]),
+                static_cast<uint16_t>(cdf[value + 1] - cdf[value]), false};
+  if (value == max_value) {
+    int32_t n_bypass = 0;
+    while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+    int32_t val = n_bypass;
+    while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+      subs[ns++] = {static_cast<uint16_t>(kMaxBypassVal), 0, true};
+      val -= kMaxBypassVal;
+    }
+    subs[ns++] = {static_cast<uint16_t>(val), 0, true};
+    for (int32_t j = 0; j < n_bypass; ++j) {
+      subs[ns++] = {
+          static_cast<uint16_t>((raw_val >> (j * kBypassPrecision)) & kMaxBypassVal),
+          0, true};
+    }
+  }
+  return ns;
+}
+
+}  // namespace
+
+// Encode n symbols (sum of group_lens) into the lane-split format.
+// Returns bytes written or -needed if capacity is too small.
+int64_t rans32_lanes_encode(const int16_t *symbols, const uint8_t *indexes,
+                            const int64_t *group_lens, int32_t n_groups,
+                            int32_t lanes, const int32_t *cdfs,
+                            int32_t cdf_stride, const int32_t *cdf_lengths,
+                            const int32_t *offsets, uint8_t *out,
+                            int64_t capacity) {
+  // 1. per-lane symbol index lists (coding order)
+  std::vector<std::vector<int64_t>> lane_syms(lanes);
+  int64_t total = 0;
+  for (int32_t g = 0; g < n_groups; ++g) total += group_lens[g];
+  for (int32_t l = 0; l < lanes; ++l)
+    lane_syms[l].reserve(static_cast<size_t>(total / lanes + n_groups));
+  int64_t base = 0;
+  for (int32_t g = 0; g < n_groups; ++g) {
+    for (int64_t j = 0; j < group_lens[g]; ++j)
+      lane_syms[j % lanes].push_back(base + j);
+    base += group_lens[g];
+  }
+
+  // 2. encode each lane LIFO into its own backward-growing word buffer
+  std::vector<std::vector<uint16_t>> lane_words(lanes);
+  std::vector<uint32_t> states(lanes, kRans32L);
+  std::vector<uint32_t> counts(lanes);
+  Sym32 subs[24];
+  for (int32_t l = 0; l < lanes; ++l) {
+    const auto &seq = lane_syms[l];
+    // <=12 sub-symbols/symbol (1 cdf + count chain + raw chunks), <=1 word each
+    std::vector<uint16_t> buf(12 * seq.size() + 16);
+    uint16_t *ptr = buf.data() + buf.size();
+    uint32_t x = kRans32L;
+    for (size_t k = seq.size(); k-- > 0;) {
+      const int64_t i = seq[k];
+      const int32_t cdf_idx = indexes[i];
+      const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+      const int ns = build_subs32(symbols[i], cdf, cdf_lengths[cdf_idx] - 2,
+                                  offsets[cdf_idx], subs);
+      for (int k2 = ns - 1; k2 >= 0; --k2) {
+        if (subs[k2].bypass) {
+          enc32_put_bits(x, ptr, subs[k2].start, kBypassPrecision);
+        } else {
+          enc32_put(x, ptr, subs[k2].start, subs[k2].range);
+        }
+      }
+    }
+    states[l] = x;
+    const int64_t nwords = buf.data() + buf.size() - ptr;
+    counts[l] = static_cast<uint32_t>(nwords);
+    lane_words[l].assign(ptr, ptr + nwords);
+  }
+
+  // 3. serialize
+  int64_t nwords_total = 0;
+  for (int32_t l = 0; l < lanes; ++l) nwords_total += counts[l];
+  const int64_t nbytes = 8LL * lanes + 2 * nwords_total;
+  if (nbytes > capacity) return -nbytes;
+  std::memcpy(out, states.data(), 4LL * lanes);
+  std::memcpy(out + 4LL * lanes, counts.data(), 4LL * lanes);
+  uint8_t *wp = out + 8LL * lanes;
+  for (int32_t l = 0; l < lanes; ++l) {
+    std::memcpy(wp, lane_words[l].data(), 2LL * counts[l]);
+    wp += 2LL * counts[l];
+  }
+  return nbytes;
+}
+
+namespace {
+
+// bounds-checked variants: a malformed container must fail cleanly, never
+// read out of bounds (missing words decode as zeros, like the JAX decoder's
+// clamped gather)
+inline void dec32_advance_b(uint32_t &x, const uint16_t *&ptr,
+                            const uint16_t *end, uint32_t start, uint32_t freq) {
+  x = freq * (x >> kPrecision) + (x & ((1u << kPrecision) - 1)) - start;
+  if (x < kRans32L) x = (x << 16) | (ptr < end ? *ptr++ : 0);
+}
+
+inline uint32_t dec32_get_bits_b(uint32_t &x, const uint16_t *&ptr,
+                                 const uint16_t *end, uint32_t nbits) {
+  const uint32_t val = x & ((1u << nbits) - 1);
+  x >>= nbits;
+  if (x < kRans32L) x = (x << 16) | (ptr < end ? *ptr++ : 0);
+  return val;
+}
+
+}  // namespace
+
+// C mirror of the JAX/TPU lane decoder (parity tests). Returns 0 on success,
+// negative on a malformed container.
+int32_t rans32_lanes_decode(const uint8_t *data, int64_t nbytes,
+                            const uint8_t *indexes, const int64_t *group_lens,
+                            int32_t n_groups, int32_t lanes,
+                            const int32_t *cdfs, int32_t cdf_stride,
+                            const int32_t *cdf_lengths, const int32_t *offsets,
+                            int16_t *out) {
+  if (lanes <= 0 || nbytes < 8LL * lanes) return -1;
+  std::vector<uint32_t> states(lanes), counts(lanes);
+  std::memcpy(states.data(), data, 4LL * lanes);
+  std::memcpy(counts.data(), data + 4LL * lanes, 4LL * lanes);
+  int64_t nwords_total = 0;
+  for (int32_t l = 0; l < lanes; ++l) nwords_total += counts[l];
+  if (8LL * lanes + 2 * nwords_total > nbytes) return -2;
+  std::vector<const uint16_t *> ptrs(lanes), ends(lanes);
+  const uint16_t *wp = reinterpret_cast<const uint16_t *>(data + 8LL * lanes);
+  for (int32_t l = 0; l < lanes; ++l) {
+    ptrs[l] = wp;
+    wp += counts[l];
+    ends[l] = wp;
+  }
+
+  int64_t base = 0;
+  for (int32_t g = 0; g < n_groups; ++g) {
+    for (int64_t j = 0; j < group_lens[g]; ++j) {
+      const int32_t l = static_cast<int32_t>(j % lanes);
+      const int64_t i = base + j;
+      const int32_t cdf_idx = indexes[i];
+      const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
+      const int32_t cdf_len = cdf_lengths[cdf_idx];
+      const int32_t max_value = cdf_len - 2;
+
+      const uint32_t cum = dec32_get(states[l]);
+      const int32_t s = find_symbol(cdf, cdf_len, cum);
+      dec32_advance_b(states[l], ptrs[l], ends[l], cdf[s], cdf[s + 1] - cdf[s]);
+
+      int32_t value = s;
+      if (value == max_value) {
+        uint32_t val = dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision);
+        int32_t n_bypass = val;
+        while (val == kMaxBypassVal) {
+          val = dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision);
+          n_bypass += val;
+        }
+        uint64_t raw_val = 0;
+        for (int32_t j2 = 0; j2 < n_bypass && j2 < 16; ++j2) {
+          raw_val |= static_cast<uint64_t>(
+                         dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision))
+                     << (j2 * kBypassPrecision);
+        }
+        value = static_cast<int32_t>(raw_val >> 1);
+        if (raw_val & 1) {
+          value = -value - 1;
+        } else {
+          value += max_value;
+        }
+      }
+      out[i] = static_cast<int16_t>(value + offsets[cdf_idx]);
+    }
+    base += group_lens[g];
+  }
+  return 0;
+}
+
 // pmf [n] float32 -> cdf [n+1] int32 summing to 2^precision.
 // Mirrors reference cpp_exts/ops/ops.cpp:24-81 (frequency stealing).
 int32_t pmf_to_quantized_cdf(const float *pmf, int32_t n, int32_t precision,

@@ -96,6 +96,18 @@ def _load() -> ctypes.CDLL:
             i32p, ctypes.c_int32, i32p, i32p, i16p,
         ]
 
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.rans32_lanes_encode.restype = ctypes.c_int64
+        lib.rans32_lanes_encode.argtypes = [
+            i16p, u8p, i64p, ctypes.c_int32, ctypes.c_int32,
+            i32p, ctypes.c_int32, i32p, i32p, u8p, ctypes.c_int64,
+        ]
+        lib.rans32_lanes_decode.restype = ctypes.c_int32
+        lib.rans32_lanes_decode.argtypes = [
+            u8p, ctypes.c_int64, u8p, i64p, ctypes.c_int32, ctypes.c_int32,
+            i32p, ctypes.c_int32, i32p, i32p, i16p,
+        ]
+
         _lib = lib
         return _lib
 
@@ -286,3 +298,86 @@ def interleaved_decode(data: bytes, indexes, table: CdfTable, lanes: int = 128):
     )
     assert rc == 0
     return out
+
+
+# --- lane-split rans32 (the TPU decoder's wire format) ------------------------
+
+
+def lanes_encode(
+    symbols, indexes, group_lens, table: CdfTable, lanes: int = 128
+) -> bytes:
+    """Encode one lane-split stream: every lane is an independent rans32
+    stream; symbol j of group g goes to lane j % lanes.  ``group_lens``
+    must sum to len(symbols).  The result is decodable by both the C
+    mirror (:func:`lanes_decode`) and the JAX lockstep decoder
+    (coder/rans_tpu.py)."""
+    lib = _load()
+    symbols = np.ascontiguousarray(np.asarray(symbols).reshape(-1), dtype=np.int16)
+    indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), dtype=np.uint8)
+    assert symbols.shape == indexes.shape
+    gl = np.ascontiguousarray(np.asarray(group_lens).reshape(-1), dtype=np.int64)
+    assert int(gl.sum()) == symbols.size, (gl.sum(), symbols.size)
+    capacity = 24 * symbols.size + 8 * lanes + 64
+    while True:
+        out = np.empty(capacity, dtype=np.uint8)
+        nbytes = lib.rans32_lanes_encode(
+            symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            gl.size,
+            lanes,
+            _i32(table.cdf),
+            table.cdf.shape[1],
+            _i32(table.cdf_length),
+            _i32(table.offset),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            capacity,
+        )
+        if nbytes >= 0:
+            return out[:nbytes].tobytes()
+        capacity = -nbytes
+
+
+def lanes_decode(
+    data: bytes, indexes, group_lens, table: CdfTable, lanes: int = 128
+) -> np.ndarray:
+    """C mirror of the JAX lane decoder (used for parity tests)."""
+    lib = _load()
+    buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    indexes = np.ascontiguousarray(np.asarray(indexes).reshape(-1), dtype=np.uint8)
+    gl = np.ascontiguousarray(np.asarray(group_lens).reshape(-1), dtype=np.int64)
+    assert int(gl.sum()) == indexes.size
+    out = np.empty(indexes.size, dtype=np.int16)
+    rc = lib.rans32_lanes_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.size,
+        indexes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        gl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gl.size,
+        lanes,
+        _i32(table.cdf),
+        table.cdf.shape[1],
+        _i32(table.cdf_length),
+        _i32(table.offset),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    assert rc == 0, f"lanes_decode failed with code {rc}"
+    return out
+
+
+def lanes_split(data: bytes, lanes: int = 128):
+    """Split a lane-split container into (states u32[lanes], words
+    u16[lanes, W]) with zero-padded rows — the arrays the JAX decoder
+    uploads to the device."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    states = buf[: 4 * lanes].view(np.uint32).copy()
+    counts = buf[4 * lanes : 8 * lanes].view(np.uint32).copy()
+    words_flat = buf[8 * lanes :].view(np.uint16)
+    w = int(counts.max()) if lanes else 0
+    words = np.zeros((lanes, w), dtype=np.uint16)
+    pos = 0
+    for l in range(lanes):
+        c = int(counts[l])
+        words[l, :c] = words_flat[pos : pos + c]
+        pos += c
+    return states, words

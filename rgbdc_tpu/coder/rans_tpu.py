@@ -1,0 +1,237 @@
+"""On-device (JAX/XLA) lockstep decoder for the lane-split rans32 format.
+
+This is the TPU consumer of ``coder/csrc/rans.cpp:rans32_lanes_encode``:
+every lane is an independent 32-bit rANS stream (16-bit renorm words,
+16-bit quantized CDFs, 4-bit bypass escapes — the reference coder's
+probability model, rans_interface.cpp:119-163/236-244), so a whole row of
+``lanes`` symbols decodes as ONE vectorized step with no cross-lane word
+ordering.  A coding group of n symbols is ceil(n/lanes) `lax.scan` steps;
+per-lane state and word position carry across groups, which is exactly the
+shape of the phase-serial checkerboard schedule (SURVEY §3.5).
+
+Everything here is jit-compatible and gather-based (XLA lowers jnp.take /
+take_along_axis fine on TPU; it is only Pallas/Mosaic that cannot — see
+CLAUDE.md).  Symbol search is a fixed-trip lockstep binary search over the
+CDF row (the dense-compare alternative would stream the full 3k-wide
+Gaussian rows from HBM every step).
+
+Wire-format invariants (must match the C encoder/decoder bit for bit):
+  * state advance   x = freq*(x>>16) + (x&0xffff) - start, renorm one
+    16-bit word when x < 2^16;
+  * bypass get_bits val = x & 0xf; x >>= 4; same renorm;
+  * escape value    raw coded least-significant-chunk first, count chain
+    of 4-bit chunks terminated by a chunk < 15.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.tables import CdfTable
+
+RANS32_L = jnp.uint32(1 << 16)
+MASK16 = jnp.uint32(0xFFFF)
+
+DEFAULT_LANES = 128
+
+
+class DeviceCdfTable(NamedTuple):
+    """CdfTable mirrored on device, flattened for 1-gather binary search."""
+
+    cdf_flat: jnp.ndarray  # [n * stride] int32
+    cdf_length: jnp.ndarray  # [n] int32
+    offset: jnp.ndarray  # [n] int32
+    stride: int
+    search_steps: int  # ceil(log2(max cdf_length)) binary-search trips
+
+
+def device_table(table: CdfTable) -> DeviceCdfTable:
+    stride = int(table.cdf.shape[1])
+    max_len = int(table.cdf_length.max())
+    steps = max(1, int(np.ceil(np.log2(max(max_len, 2)))))
+    return DeviceCdfTable(
+        cdf_flat=jnp.asarray(table.cdf.reshape(-1), dtype=jnp.int32),
+        cdf_length=jnp.asarray(table.cdf_length, dtype=jnp.int32),
+        offset=jnp.asarray(table.offset, dtype=jnp.int32),
+        stride=stride,
+        search_steps=steps,
+    )
+
+
+def combine_tables(*tables: CdfTable) -> CdfTable:
+    """Concatenate CDF tables into one (rows of table k are offset by the
+    total row count of tables <k).  Lets a single stream interleave groups
+    coded with different models (e.g. the EB-coded z followed by the
+    GC-coded y slices) — index = row_base[k] + model_index."""
+    stride = max(t.cdf.shape[1] for t in tables)
+    rows = []
+    for t in tables:
+        pad = stride - t.cdf.shape[1]
+        rows.append(np.pad(t.cdf, ((0, 0), (0, pad))))
+    return CdfTable(
+        cdf=np.concatenate(rows, axis=0),
+        cdf_length=np.concatenate([t.cdf_length for t in tables]),
+        offset=np.concatenate([t.offset for t in tables]),
+    )
+
+
+class LaneState(NamedTuple):
+    """Per-stream decode carry: [..., lanes] uint32 states and int32 word
+    positions into a [..., lanes, W] uint16 word matrix."""
+
+    state: jnp.ndarray
+    pos: jnp.ndarray
+
+
+def init_lane_state(states: jnp.ndarray) -> LaneState:
+    return LaneState(
+        state=states.astype(jnp.uint32),
+        pos=jnp.zeros(states.shape, jnp.int32),
+    )
+
+
+def _fetch_word(words, pos):
+    w = jnp.take_along_axis(
+        words, jnp.clip(pos, 0, words.shape[-1] - 1)[..., None], axis=-1
+    )[..., 0]
+    return w.astype(jnp.uint32)
+
+
+def _renorm(state, pos, words, mask):
+    need = mask & (state < RANS32_L)
+    w = _fetch_word(words, pos)
+    state = jnp.where(need, (state << 16) | w, state)
+    pos = pos + need.astype(jnp.int32)
+    return state, pos
+
+
+def _get_bits4(state, pos, words, mask):
+    """dec32_get_bits(x, 4) on masked lanes; returns (val i32, state, pos)."""
+    val = (state & jnp.uint32(0xF)).astype(jnp.int32)
+    shifted = state >> 4
+    shifted, npos = _renorm(shifted, pos, words, mask)
+    state = jnp.where(mask, shifted, state)
+    pos = jnp.where(mask, npos, pos)
+    val = jnp.where(mask, val, 0)
+    return val, state, pos
+
+
+def _find_symbol(tbl: DeviceCdfTable, idx, cum, length):
+    """Lockstep binary search: largest s with cdf[s] <= cum (C find_symbol)."""
+    base = idx * tbl.stride
+    lo = jnp.zeros_like(idx)
+    hi = length - 1
+
+    def body(_, lh):
+        lo, hi = lh
+        live = (hi - lo) > 1
+        mid = (lo + hi) >> 1
+        cmid = jnp.take(tbl.cdf_flat, base + mid)
+        go_lo = live & (cmid <= cum)
+        lo = jnp.where(go_lo, mid, lo)
+        hi = jnp.where(live & ~go_lo, mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, tbl.search_steps, body, (lo, hi))
+    return lo
+
+
+def _decode_row(carry: LaneState, words, idx_row, act, tbl: DeviceCdfTable):
+    """Decode one lockstep row: every active lane pops one symbol."""
+    state, pos = carry.state, carry.pos
+    idx_row = jnp.where(act, idx_row, 0)  # keep gathers in-bounds
+    length = jnp.take(tbl.cdf_length, idx_row)
+    maxv = length - 2
+
+    cum = (state & MASK16).astype(jnp.int32)
+    s = _find_symbol(tbl, idx_row, cum, length)
+    base = idx_row * tbl.stride
+    start = jnp.take(tbl.cdf_flat, base + s)
+    freq = (jnp.take(tbl.cdf_flat, base + s + 1) - start).astype(jnp.uint32)
+
+    adv = (state >> 16) * freq + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
+    adv, npos = _renorm(adv, pos, words, act)
+    state = jnp.where(act, adv, state)
+    pos = jnp.where(act, npos, pos)
+
+    # --- escape path (rare): count chain, then LSB-first 4-bit chunks -------
+    esc = act & (s == maxv)
+    n_byp = jnp.zeros_like(s)
+
+    def a_cond(c):
+        return jnp.any(c[3])
+
+    def a_body(c):
+        state, pos, n_byp, live = c
+        val, state, pos = _get_bits4(state, pos, words, live)
+        n_byp = n_byp + jnp.where(live, val, 0)
+        live = live & (val == 15)
+        return state, pos, n_byp, live
+
+    state, pos, n_byp, _ = jax.lax.while_loop(
+        a_cond, a_body, (state, pos, n_byp, esc)
+    )
+
+    raw = jnp.zeros(s.shape, jnp.uint32)
+    j0 = jnp.zeros((), jnp.int32)
+
+    def b_cond(c):
+        return jnp.any(esc & (c[3] < n_byp))
+
+    def b_body(c):
+        state, pos, raw, j = c
+        m = esc & (j < n_byp)
+        val, state, pos = _get_bits4(state, pos, words, m)
+        raw = raw | jnp.where(m, val.astype(jnp.uint32) << (4 * j).astype(jnp.uint32), 0)
+        return state, pos, raw, j + 1
+
+    state, pos, raw, _ = jax.lax.while_loop(b_cond, b_body, (state, pos, raw, j0))
+
+    v = (raw >> 1).astype(jnp.int32)
+    esc_value = jnp.where((raw & 1).astype(bool), -v - 1, v + maxv)
+    value = jnp.where(esc, esc_value, s)
+    sym = jnp.where(act, value + jnp.take(tbl.offset, idx_row), 0)
+    return LaneState(state, pos), sym
+
+
+def decode_group(
+    carry: LaneState,
+    words: jnp.ndarray,
+    indexes: jnp.ndarray,
+    tbl: DeviceCdfTable,
+    lanes: int = DEFAULT_LANES,
+):
+    """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
+
+    Lane assignment restarts per group (symbol j -> lane j % lanes), exactly
+    mirroring rans32_lanes_encode.  ``words`` is the [..., lanes, W] uint16
+    word matrix from ``lanes_split``; the carry threads across consecutive
+    decode_group calls on the same stream."""
+    lead = indexes.shape[:-1]
+    n = indexes.shape[-1]
+    steps = -(-n // lanes)
+    pad = steps * lanes - n
+    idx_p = jnp.pad(indexes.astype(jnp.int32), [(0, 0)] * len(lead) + [(0, pad)])
+    # [steps, ..., lanes]
+    perm = (len(lead),) + tuple(range(len(lead))) + (len(lead) + 1,)
+    idx_rows = idx_p.reshape(lead + (steps, lanes)).transpose(perm)
+    valid = (
+        jnp.arange(steps * lanes, dtype=jnp.int32).reshape(steps, lanes) < n
+    )
+    act_rows = jnp.broadcast_to(
+        valid.reshape((steps,) + (1,) * len(lead) + (lanes,)),
+        (steps,) + lead + (lanes,),
+    )
+
+    def step(c, xs):
+        idx_row, act = xs
+        return _decode_row(c, words, idx_row, act, tbl)
+
+    carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows))
+    inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
+    syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
+    return carry, syms

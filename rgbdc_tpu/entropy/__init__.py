@@ -1,5 +1,6 @@
 from .gaussian import (
     gaussian_likelihood,
+    gaussian_forward,
     build_indexes,
     get_scale_table,
     SCALE_BOUND,
@@ -15,6 +16,7 @@ from .tables import (
 
 __all__ = [
     "gaussian_likelihood",
+    "gaussian_forward",
     "build_indexes",
     "get_scale_table",
     "SCALE_BOUND",

@@ -66,15 +66,20 @@ def ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
 
 def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
     """Multi-scale SSIM; x, y: [B,H,W,C] with H,W >= 176 for 5 scales
-    (same constraint as pytorch_msssim)."""
+    (same constraint as pytorch_msssim).
+
+    Reduction order matches pytorch_msssim (the reference's implementation
+    for both loss and eval): per-scale terms are averaged over SPATIAL dims
+    only, the weighted cross-scale product is taken per (image, channel),
+    and the batch/channel mean comes last."""
     k1d = jnp.asarray(_gaussian_kernel())
     weights = jnp.asarray(_MSSSIM_WEIGHTS)
-    cs_vals = []
+    cs_vals = []  # each [B, C]
     lum = None
     for i in range(len(_MSSSIM_WEIGHTS)):
         luminance, cs = _ssim_terms(x, y, k1d, data_range)
-        cs_vals.append(jnp.mean(jax.nn.relu(cs)))
-        lum = jnp.mean(jax.nn.relu(luminance * cs))
+        cs_vals.append(jnp.mean(jax.nn.relu(cs), axis=(1, 2)))
+        lum = jnp.mean(jax.nn.relu(luminance * cs), axis=(1, 2))
         if i < len(_MSSSIM_WEIGHTS) - 1:
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
@@ -82,8 +87,8 @@ def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
             y = jax.lax.reduce_window(
                 y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
-    terms = jnp.stack(cs_vals[:-1] + [lum])
-    return jnp.prod(terms ** weights)
+    terms = jnp.stack(cs_vals[:-1] + [lum])  # [scales, B, C]
+    return jnp.mean(jnp.prod(terms ** weights[:, None, None], axis=0))
 
 
 def compute_metrics(a: jax.Array, b: jax.Array, data_range: float = 1.0):

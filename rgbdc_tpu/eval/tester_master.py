@@ -1,7 +1,19 @@
 """Cascade tester (reference testing/tester_master.py:27-148): the aux codec
 round-trips the aux modality first; the master codec is conditioned on the
 DECODED aux image + decoder taps; beta/gamma side info is counted into the
-master bpp (reference adds 128 bytes, :126-127 — here 256 bytes of f16)."""
+master bpp.
+
+Side-info accounting (deliberate divergence from the reference):
+the reference adds a NOMINAL +128 bytes to the file size (:126-127) but
+never serializes beta/gamma at all — its decoder receives them in-memory
+as float32 (2 x 64 x 4 = 512 actual bytes, so its own charge undercounts
+by 4x).  Here the 128 side-info floats ARE written into the bitstream file
+as float16 (2 x 64 x 2 = 256 bytes) and bpp is computed from the true file
+size, so the reported rate is what a decoder actually needs.  Constant skew
+vs the reference's nominal accounting: +128 B/image = +0.0033 bpp at
+640x480.  f16 rounding of beta/gamma only perturbs the reconstruction
+conditioning (synthesize_master); entropy decode never reads them, so
+stream sync is unaffected."""
 
 from __future__ import annotations
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn import (
     ResidualBlock,
     ResidualBlockUpsample,
@@ -186,11 +186,16 @@ class Cheng2020AnchorCheckerboard(nn.Module):
         ctx = ckbd_nonanchor(self.context_prediction(y_hat))  # mask anchor part
         params = self.entropy_parameters(jnp.concatenate([ctx, hyper], axis=-1))
         scales, means = jnp.split(params, 2, axis=-1)
-        y_lik = gaussian_likelihood(y, scales, means)
+        # rate at the quantized latent — the reference's
+        # gaussian_conditional(y, ...) re-quantizes internally (:70)
+        y_lik = gaussian_forward(
+            y, scales, means, training,
+            self.make_rng("noise") if training else None,
+        )[1]
         x_hat = self.g_s(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
 
-    def validate(self, x):
+    def validate(self, x, training: bool = False):
         """Two-pass STE forward (reference :74-101) — true-distortion
         estimate; also usable as a training objective."""
         y = self.g_a(x)
@@ -208,7 +213,10 @@ class Cheng2020AnchorCheckerboard(nn.Module):
         params = self.entropy_parameters(jnp.concatenate([ctx, hyper], axis=-1))
         scales, means = jnp.split(params, 2, axis=-1)
         y_hat = quantize_ste(y, means)
-        y_lik = gaussian_likelihood(y, scales, means)
+        y_lik = gaussian_forward(
+            y, scales, means, training,
+            self.make_rng("noise") if training else None,
+        )[1]
         x_hat = self.g_s(y_hat)
         return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
 

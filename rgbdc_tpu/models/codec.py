@@ -756,6 +756,232 @@ class UnitedCodec:
             "y_hat": {"r": rgb_y_hat, "d": depth_y_hat},
         }
 
+    # -- lane-format (on-device decode) path ----------------------------------
+    #
+    # The compat path above is phase-serial on the HOST: 20 blocking
+    # device->host round trips per image batch (~25 ms RTT each through the
+    # tunnel).  The lane path moves the entire decode on-device: the
+    # bitstream is the lane-split rans32 format (coder/csrc/rans.cpp), the
+    # decoder is ONE jitted program chaining stage CNNs with lockstep scan
+    # decoding (coder/rans_tpu.py) — only compressed bytes cross the link.
+    #
+    # Bit-exact closure: the encoder's stage computations run in a single
+    # fused program whose per-stage subgraphs are the same model methods the
+    # decoder program calls; the roundtrip tests assert decoder y_hat ==
+    # encoder y_hat exactly (tests/test_codec_lanes.py) — the fused-program
+    # analog of the shared-stage-program invariant.
+    #
+    # Rate trade-off vs the compat format: 8 bytes/lane of container
+    # overhead per stream (state+count headers); at the default 128 lanes
+    # that is 1 KB/stream.  The tester keeps the compat format for
+    # reference bpp parity; this path is the serving/throughput format.
+
+    LANES = int(os.environ.get("RGBDC_LANES", "128"))
+
+    def _lane_setup(self):
+        if getattr(self, "_lane_ready", False):
+            return
+        from ..coder import rans_tpu as _rt
+        from ..coder.rans import lanes_encode, lanes_split
+
+        self._rt = _rt
+        self._lanes_encode = lanes_encode
+        self._lanes_split = lanes_split
+        # combined tables: rows [0,64) = gaussian conditional, rows [64,..)
+        # = the modality's entropy bottleneck (z indexes = 64 + channel)
+        self._comb_r = _rt.combine_tables(
+            self.tables.gc, self.tables.eb["rgb_entropy_bottleneck"]
+        )
+        self._comb_d = _rt.combine_tables(
+            self.tables.gc, self.tables.eb["depth_entropy_bottleneck"]
+        )
+        self._dev_tbl_r = _rt.device_table(self._comb_r)
+        self._dev_tbl_d = _rt.device_table(self._comb_d)
+
+        model = self.model
+        mt = type(model)
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        n_slices = len(model.slice_ch)
+        lanes = self.LANES
+
+        def encode_all(v, rgb, depth):
+            """Every (slice, stage) symbol/index tensor in ONE program."""
+            rgb_y, depth_y, rz_sym, dz_sym = model.apply(
+                v, rgb, depth, method=mt.encode_front
+            )
+            rgb_hyper, depth_hyper = model.apply(
+                v, rz_sym, dz_sym, method=mt.hyper_decode
+            )
+            r_groups, d_groups, r_prev, d_prev = [], [], [], []
+            for i in range(n_slices):
+                idx1, r_mn_a, init = model.apply(
+                    v, i, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper,
+                    st, method=mt.stage_rgb_anchor,
+                )
+                r_sym_a = model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)
+                idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
+                    v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
+                )
+                d_sym_a = model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)
+                idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
+                    v, i, d_sym_a, d_mn_a, r_local, init, st,
+                    method=mt.stage_rgb_nonanchor,
+                )
+                r_sym_na = model.apply(
+                    v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols
+                )
+                idx4, d_mn_na, r_hat_slice = model.apply(
+                    v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
+                    method=mt.stage_depth_nonanchor,
+                )
+                d_sym_na = model.apply(
+                    v, i, depth_y, d_mn_na, method=mt.nonanchor_symbols
+                )
+                d_hat_slice = model.apply(
+                    v, d_anchor_hat, d_sym_na, d_mn_na, method=mt.merge_depth_slice
+                )
+                r_prev.append(r_hat_slice)
+                d_prev.append(d_hat_slice)
+                r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
+                d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
+            return (
+                rz_sym, dz_sym, r_groups, d_groups,
+                jnp.concatenate(r_prev, axis=-1),
+                jnp.concatenate(d_prev, axis=-1),
+            )
+
+        self._encode_all = jax.jit(encode_all)
+
+        def decode_all(v, r_states, r_words, d_states, d_words, zh, zw):
+            b = r_states.shape[0]
+            n = model.N
+
+            def z_indexes():
+                c = jnp.arange(n, dtype=jnp.int32) + 64
+                return jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
+
+            rc = self._rt.init_lane_state(r_states)
+            dc = self._rt.init_lane_state(d_states)
+            rc, rz_flat = self._rt.decode_group(
+                rc, r_words, z_indexes(), self._dev_tbl_r, lanes
+            )
+            dc, dz_flat = self._rt.decode_group(
+                dc, d_words, z_indexes(), self._dev_tbl_d, lanes
+            )
+            rz_sym = rz_flat.reshape(b, zh, zw, n)
+            dz_sym = dz_flat.reshape(b, zh, zw, n)
+            rgb_hyper, depth_hyper = model.apply(
+                v, rz_sym, dz_sym, method=mt.hyper_decode
+            )
+
+            def pull(carry, words, tbl, idx):
+                carry, flat = self._rt.decode_group(
+                    carry, words, idx.reshape(b, -1).astype(jnp.int32), tbl, lanes
+                )
+                return carry, flat.reshape(idx.shape).astype(jnp.int16)
+
+            r_prev, d_prev = [], []
+            for i in range(n_slices):
+                idx1, r_mn_a, init = model.apply(
+                    v, i, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper,
+                    st, method=mt.stage_rgb_anchor,
+                )
+                rc, r_sym_a = pull(rc, r_words, self._dev_tbl_r, idx1)
+                idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
+                    v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
+                )
+                dc, d_sym_a = pull(dc, d_words, self._dev_tbl_d, idx2)
+                idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
+                    v, i, d_sym_a, d_mn_a, r_local, init, st,
+                    method=mt.stage_rgb_nonanchor,
+                )
+                rc, r_sym_na = pull(rc, r_words, self._dev_tbl_r, idx3)
+                idx4, d_mn_na, r_hat_slice = model.apply(
+                    v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
+                    method=mt.stage_depth_nonanchor,
+                )
+                dc, d_sym_na = pull(dc, d_words, self._dev_tbl_d, idx4)
+                d_hat_slice = model.apply(
+                    v, d_anchor_hat, d_sym_na, d_mn_na, method=mt.merge_depth_slice
+                )
+                r_prev.append(r_hat_slice)
+                d_prev.append(d_hat_slice)
+
+            rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
+            depth_y_hat = jnp.concatenate(d_prev, axis=-1)
+            rgb_hat, depth_hat = model.apply(
+                v, rgb_y_hat, depth_y_hat, method=mt.synthesize
+            )
+            return rgb_hat, depth_hat, rgb_y_hat, depth_y_hat
+
+        self._decode_all = jax.jit(decode_all, static_argnums=(5, 6))
+        self._lane_ready = True
+
+    def compress_lanes(self, rgb, depth) -> dict:
+        """Encode into the lane-split wire format (one stream per modality
+        per image; on-device-decodable)."""
+        self._lane_setup()
+        out = self._encode_all(self.variables, rgb, depth)
+        rz_sym, dz_sym, r_groups, d_groups, r_y_hat, d_y_hat = jax.device_get(out)
+        b = rz_sym.shape[0]
+        n = self.model.N
+        z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
+
+        def build_stream(n_img, z_sym, groups, table):
+            syms = [np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)]
+            idxs = [z_idx[n_img].reshape(-1)]
+            lens = [syms[0].size]
+            for sym, idx in groups:
+                syms.append(np.asarray(sym[n_img], np.int16).reshape(-1))
+                idxs.append(np.asarray(idx[n_img], np.uint8).reshape(-1))
+                lens.append(syms[-1].size)
+            return self._lanes_encode(
+                np.concatenate(syms), np.concatenate(idxs), lens, table,
+                lanes=self.LANES,
+            )
+
+        r_streams = _tmap(
+            lambda i: build_stream(i, rz_sym, r_groups, self._comb_r), b
+        )
+        d_streams = _tmap(
+            lambda i: build_stream(i, dz_sym, d_groups, self._comb_d), b
+        )
+        return {
+            "r_streams": r_streams,
+            "d_streams": d_streams,
+            "shape": (rz_sym.shape[1], rz_sym.shape[2]),
+            "y_hat": {"r": r_y_hat, "d": d_y_hat},
+        }
+
+    # word-matrix widths are bucketed so repeat batches reuse the compiled
+    # decoder (jit keys on shapes)
+    WORD_BUCKET = 512
+
+    def _stack_streams(self, streams):
+        split = [self._lanes_split(s, self.LANES) for s in streams]
+        w = max(max((s[1].shape[1] for s in split), default=1), 1)
+        w = -(-w // self.WORD_BUCKET) * self.WORD_BUCKET
+        states = np.stack([s[0] for s in split])
+        words = np.stack(
+            [np.pad(s[1], ((0, 0), (0, w - s[1].shape[1]))) for s in split]
+        )
+        return jnp.asarray(states), jnp.asarray(words)
+
+    def decompress_lanes(self, r_streams, d_streams, shape) -> dict:
+        """Fully on-device decode: upload the bitstreams, run ONE jitted
+        program (stage CNNs + lockstep rans scans), download x_hat."""
+        self._lane_setup()
+        zh, zw = int(shape[0]), int(shape[1])
+        r_states, r_words = self._stack_streams(r_streams)
+        d_states, d_words = self._stack_streams(d_streams)
+        rgb_hat, depth_hat, r_y_hat, d_y_hat = self._decode_all(
+            self.variables, r_states, r_words, d_states, d_words, zh, zw
+        )
+        return {
+            "x_hat": {"r": rgb_hat, "d": depth_hat},
+            "y_hat": {"r": r_y_hat, "d": d_y_hat},
+        }
+
     # -- chunked pipelining ---------------------------------------------------
     #
     # The host link is RTT-bound (~25 ms per blocking dispatch through the

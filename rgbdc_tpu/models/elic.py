@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn import (
     AnalysisTransformEX,
     ChannelContextEX,
@@ -86,6 +86,14 @@ class ELIC(nn.Module):
             start += ch
         return out
 
+    def _rate_lik(self, y, scales, means, training):
+        """Rate term at the QUANTIZED latent (reference GaussianConditional
+        .forward quantizes before the likelihood, entropy_models.py:552-558):
+        y + U(-0.5, 0.5) noise during training, round(y-mu)+mu at eval.
+        Evaluating at raw continuous y would underestimate the coded bpp."""
+        rng = self.make_rng("noise") if training else None
+        return gaussian_forward(y, scales, means, training, rng)[1]
+
     def _quant(self, v, means, training):
         """Quantize masked latent around means (STE or noise path)."""
         if self.quant == "ste":
@@ -144,7 +152,9 @@ class ELIC(nn.Module):
             nonanchor_hat = ckbd_nonanchor(self._quant(nonanchor, means_na, training))
 
             y_liks.append(
-                gaussian_likelihood(y_slice, scales_a + scales_na, means_a + means_na)
+                self._rate_lik(
+                    y_slice, scales_a + scales_na, means_a + means_na, training
+                )
             )
             y_hat_slices.append(anchor_hat + nonanchor_hat)
 

@@ -107,7 +107,6 @@ class ELICMaster(ELIC):
 
     def _entropy_slices(self, y, hyper, training):
         """ELIC's slice loop, shared verbatim (same context structure)."""
-        from ..entropy import gaussian_likelihood
         from ..ops import ckbd_anchor, ckbd_nonanchor
 
         y_hat_slices, y_liks = [], []
@@ -125,7 +124,9 @@ class ELICMaster(ELIC):
                 self._quant(ckbd_nonanchor(y_slice), means_na, training)
             )
             y_liks.append(
-                gaussian_likelihood(y_slice, scales_a + scales_na, means_a + means_na)
+                self._rate_lik(
+                    y_slice, scales_a + scales_na, means_a + means_na, training
+                )
             )
             y_hat_slices.append(anchor_hat + nonanchor_hat)
         return (

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn import (
     AnalysisTransformEXcross,
     AnalysisTransformEXSingle,
@@ -115,6 +115,13 @@ class ELICUnited(nn.Module):
             out.append(y[..., start : start + ch])
             start += ch
         return out
+
+    def _rate_lik(self, y, scales, means, training):
+        """Rate term at the QUANTIZED latent (reference GaussianConditional
+        .forward quantizes before the likelihood, entropy_models.py:552-558):
+        y + U(-0.5, 0.5) noise during training, round(y-mu)+mu at eval."""
+        rng = self.make_rng("noise") if training else None
+        return gaussian_forward(y, scales, means, training, rng)[1]
 
     def _quant(self, v, means, training):
         if self.quant == "ste":
@@ -224,10 +231,10 @@ class ELICUnited(nn.Module):
             d_hat_slice = d_anchor + d_nonanchor
 
             rgb_liks.append(
-                gaussian_likelihood(r_slice, r_sc_a + r_sc_na, r_mn_a + r_mn_na)
+                self._rate_lik(r_slice, r_sc_a + r_sc_na, r_mn_a + r_mn_na, training)
             )
             depth_liks.append(
-                gaussian_likelihood(d_slice, d_sc_a + d_sc_na, d_mn_a + d_mn_na)
+                self._rate_lik(d_slice, d_sc_a + d_sc_na, d_mn_a + d_mn_na, training)
             )
             rgb_hat_slices.append(r_hat_slice)
             depth_hat_slices.append(d_hat_slice)

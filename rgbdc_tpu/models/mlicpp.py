@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn.context_mlic import (
     ChannelContextMLIC,
     LatentResidualPrediction,
@@ -209,7 +209,13 @@ class MLICPlusPlus(nn.Module):
             sc_na, mn_na = ckbd_nonanchor(sc_na), ckbd_nonanchor(mn_na)
             nonanchor = ckbd_nonanchor(quantize_ste(ckbd_nonanchor(y_slice), mn_na))
 
-            y_liks.append(gaussian_likelihood(y_slice, sc_a + sc_na, mn_a + mn_na))
+            # rate at the quantized latent (noise in training, round at eval)
+            y_liks.append(
+                gaussian_forward(
+                    y_slice, sc_a + sc_na, mn_a + mn_na, training,
+                    self.make_rng("noise") if training else None,
+                )[1]
+            )
             y_hat_slice = anchor + nonanchor
             lrp_na = self._apply_lrp(
                 self.lrp_nonanchor[idx], hyper_means, y_hat_slices, y_hat_slice

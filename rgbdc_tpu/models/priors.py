@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward, gaussian_likelihood
 from ..ops.gdn import GDN
 from ..ops import quantize_ste
 
@@ -246,7 +246,11 @@ class JointAutoregressiveHierarchicalPriors(nn.Module):
         ctx = self.context_prediction(y_hat)
         params = self.entropy_parameters(jnp.concatenate([hyper, ctx], axis=-1))
         scales, means = jnp.split(params, 2, axis=-1)
-        y_lik = gaussian_likelihood(y, scales, means)
+        # rate at the quantized latent (noise in training, round at eval)
+        y_lik = gaussian_forward(
+            y, scales, means, training,
+            self.make_rng("noise") if training else None,
+        )[1]
         return {"x_hat": self.g_s(y_hat), "likelihoods": {"y": y_lik, "z": z_lik}}
 
     def aux_loss(self):

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..entropy import EntropyBottleneck, build_indexes, gaussian_likelihood
+from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn.layers import SubpelConv3x3, conv3x3
 from ..nn.swin import BasicLayer, PatchEmbed
 from ..ops import quantize_ste
@@ -193,7 +193,13 @@ class SymmetricalTransFormer(nn.Module):
         for i, y_slice in enumerate(self._slices(y)):
             support = y_hat_slices[: self.max_support_slices]
             mu, sc = self._slice_mu_scale(i, support, means, scales)
-            y_liks.append(gaussian_likelihood(y_slice, sc, mu))
+            # rate at the quantized latent (noise in training, round at eval)
+            y_liks.append(
+                gaussian_forward(
+                    y_slice, sc, mu, training,
+                    self.make_rng("noise") if training else None,
+                )[1]
+            )
             y_hat_slice = quantize_ste(y_slice, mu)
             lrp_in = jnp.concatenate([means] + support + [y_hat_slice], -1)
             y_hat_slice = y_hat_slice + self._apply_lrp(i, lrp_in)

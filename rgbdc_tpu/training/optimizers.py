@@ -12,8 +12,10 @@ backward pass.
 """
 
 from collections.abc import Callable
+from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -41,13 +43,87 @@ def make_dual_optimizer(
         main_chain.append(optax.clip_by_global_norm(clip_max_norm))
     main_chain.append(optax.adam(learning_rate))
     if plateau:
-        main_chain.append(
-            optax.contrib.reduce_on_plateau(factor=0.3, patience=4, cooldown=0)
-        )
+        main_chain.append(scale_by_plateau())
     return optax.multi_transform(
         {"main": optax.chain(*main_chain), "aux": optax.adam(aux_learning_rate)},
         _label_params,
     )
+
+
+class PlateauScaleState(NamedTuple):
+    scale: jnp.ndarray
+
+
+def scale_by_plateau() -> optax.GradientTransformation:
+    """Multiply updates by a host-controlled LR scale.
+
+    The plateau decision itself is NOT taken per step: the trainer runs
+    :class:`ReduceLROnPlateau` once per epoch on the validation loss
+    (reference trainer.py:200-201) and writes the resulting scale into this
+    state with :func:`set_plateau_scale`."""
+
+    def init(params):
+        del params
+        return PlateauScaleState(scale=jnp.asarray(1.0, jnp.float32))
+
+    def update(updates, state, params=None, **extra):
+        del params, extra
+        updates = jax.tree.map(lambda u: u * state.scale, updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return opt_state with every PlateauScaleState leaf set to ``scale``."""
+
+    def walk(node):
+        if isinstance(node, PlateauScaleState):
+            return PlateauScaleState(scale=jnp.asarray(scale, jnp.float32))
+        if isinstance(node, tuple):  # includes NamedTuples
+            vals = [walk(v) for v in node]
+            return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(opt_state)
+
+
+class ReduceLROnPlateau:
+    """Host-side mirror of torch.optim.lr_scheduler.ReduceLROnPlateau("min")
+    with torch defaults (factor=0.1, patience=10), stepped ONCE PER EPOCH
+    with the validation loss (reference trainer.py:200-201).  ``step``
+    returns the current LR scale to install via ``set_plateau_scale``.
+    Non-finite losses are ignored (they never count as improvement or
+    plateau evidence)."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 10,
+                 threshold: float = 1e-4, min_scale: float = 1e-8):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, val_loss: float) -> float:
+        import math
+
+        if not math.isfinite(val_loss):
+            return self.scale
+        if val_loss < self.best * (1.0 - self.threshold):
+            self.best = val_loss
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.num_bad_epochs = 0
+        return self.scale
 
 
 def multistep_lr(

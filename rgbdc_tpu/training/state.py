@@ -37,9 +37,12 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True,
                     plateau: bool = False):
     """loss_fn(output, *batch) -> dict with 'loss'.
 
-    plateau=True threads the loss into the optimizer update (needed by
-    reduce_on_plateau). Returns step(state, batch, rng) -> (state, metrics).
+    plateau is accepted for API symmetry with make_dual_optimizer; the
+    plateau LR decision itself happens once per epoch in the trainer
+    (optimizers.ReduceLROnPlateau + set_plateau_scale), not per step.
+    Returns step(state, batch, rng) -> (state, metrics).
     """
+    del plateau
 
     def step(state: TrainState, batch, rng):
         def total_loss(params):
@@ -53,24 +56,23 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True,
         (_, (rd, aux)), grads = jax.value_and_grad(total_loss, has_aux=True)(
             state.params
         )
-        # NaN guard: a divergent batch (inf/nan loss or grads) is skipped
-        # instead of poisoning the parameters — the framework's failure-
-        # detection story for training (the reference has none, SURVEY §5).
+        # NaN guard: a divergent batch (inf/nan loss or grads) is skipped as
+        # a TRUE no-op — params and optimizer state (incl. Adam moments) are
+        # kept verbatim, so momentum cannot leak a nonzero update.  This is
+        # the framework's failure-detection story for training (the
+        # reference has none, SURVEY §5).
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(rd["loss"]) & jnp.isfinite(grad_norm)
-        safe_grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params
         )
-        if plateau:
-            updates, new_opt_state = state.tx.update(
-                safe_grads, state.opt_state, state.params, value=rd["loss"]
-            )
-            new_params = optax.apply_updates(state.params, updates)
-            state = state.replace(
-                step=state.step + 1, params=new_params, opt_state=new_opt_state
-            )
-        else:
-            state = state.apply_gradients(grads=safe_grads)
+        new_params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jnp.where(finite, new, old)  # noqa: E731
+        new_params = jax.tree.map(keep, new_params, state.params)
+        new_opt_state = jax.tree.map(keep, new_opt_state, state.opt_state)
+        state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
         metrics = {k: v for k, v in rd.items()}
         metrics["aux_loss"] = aux
         metrics["grad_norm"] = grad_norm

@@ -42,7 +42,12 @@ from .losses import (
     rate_distortion_loss_single,
     rate_distortion_loss_united,
 )
-from .optimizers import make_dual_optimizer, multistep_lr
+from .optimizers import (
+    ReduceLROnPlateau,
+    make_dual_optimizer,
+    multistep_lr,
+    set_plateau_scale,
+)
 from .state import create_train_state, make_eval_step, make_train_step
 
 
@@ -197,11 +202,22 @@ class Trainer:
         rng = jax.random.PRNGKey(seed + 1)
 
         best_loss = float("inf")
+        # plateau LR decision happens once per epoch on the VALIDATION loss
+        # (reference trainer.py:200-201), never on per-step training loss
+        plateau_sched = ReduceLROnPlateau() if self.plateau else None
         for epoch in range(start_epoch, self.epochs):
             t0 = time.time()
             step_fn = self.step_fn_for_epoch(epoch)
             state, rng = self.train_one_epoch(state, step_fn, rng, epoch)
             val_loss = self.validate_one_epoch(state, eval_fn, epoch)
+            if plateau_sched is not None:
+                prev = plateau_sched.scale
+                scale = plateau_sched.step(val_loss)
+                if scale != prev:
+                    state = state.replace(
+                        opt_state=set_plateau_scale(state.opt_state, scale)
+                    )
+                    self.logger.info(f"plateau: lr scale -> {scale:g}")
             is_best = val_loss < best_loss
             best_loss = min(val_loss, best_loss)
             save_checkpoint(

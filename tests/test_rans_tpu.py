@@ -1,0 +1,150 @@
+"""Lane-split rans32: C encoder <-> C decoder <-> JAX lockstep decoder.
+
+The JAX decoder (coder/rans_tpu.py) must be bit-exact with the C mirror on
+adversarial streams — including out-of-range escape symbols (the reference
+coder's bypass mode, rans_interface.cpp:119-163) and ragged group/lane
+alignments — because it decodes real model bitstreams on the TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbdc_tpu.coder import rans_tpu as rt
+from rgbdc_tpu.coder.rans import lanes_decode, lanes_encode, lanes_split
+from rgbdc_tpu.entropy import get_scale_table
+from rgbdc_tpu.entropy.tables import build_gaussian_tables
+
+TABLE = build_gaussian_tables(get_scale_table())
+
+
+def _random_stream(rng, n, esc_rate=0.02):
+    idx = rng.integers(0, len(TABLE.cdf_length), n).astype(np.uint8)
+    sym = rng.integers(-30, 30, n).astype(np.int16)
+    esc = rng.random(n) < esc_rate
+    sym[esc] = rng.integers(-30000, 30000, max(esc.sum(), 0)).astype(np.int16)
+    return sym, idx
+
+
+def _jax_decode(data, idx, group_lens, lanes, batch=True):
+    tbl = rt.device_table(TABLE)
+    states, words = lanes_split(data, lanes)
+    s = jnp.asarray(states)[None] if batch else jnp.asarray(states)
+    w = jnp.asarray(words)[None] if batch else jnp.asarray(words)
+    carry = rt.init_lane_state(s)
+    out, base = [], 0
+    for gl in group_lens:
+        gi = np.asarray(idx[base : base + gl])
+        gi = jnp.asarray(gi)[None] if batch else jnp.asarray(gi)
+        carry, sym = rt.decode_group(carry, w, gi, tbl, lanes=lanes)
+        out.append(np.asarray(sym).reshape(-1))
+        base += gl
+    return np.concatenate(out).astype(np.int16), carry
+
+
+class TestCLanes:
+    @pytest.mark.parametrize("lanes", [1, 7, 64, 128])
+    def test_roundtrip(self, lanes):
+        rng = np.random.default_rng(lanes)
+        group_lens = rng.integers(0, 4000, 5)
+        sym, idx = _random_stream(rng, int(group_lens.sum()))
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+        out = lanes_decode(data, idx, group_lens, TABLE, lanes=lanes)
+        assert np.array_equal(out, sym)
+
+    def test_all_escapes(self):
+        rng = np.random.default_rng(3)
+        n = 500
+        idx = np.zeros(n, np.uint8)  # narrowest CDF -> everything escapes
+        sym = rng.integers(-32768, 32767, n).astype(np.int16)
+        data = lanes_encode(sym, idx, [n], TABLE, lanes=16)
+        assert np.array_equal(lanes_decode(data, idx, [n], TABLE, lanes=16), sym)
+
+    def test_empty(self):
+        data = lanes_encode(
+            np.zeros(0, np.int16), np.zeros(0, np.uint8), [0], TABLE, lanes=8
+        )
+        states, words = lanes_split(data, 8)
+        assert np.all(states == 1 << 16) and words.shape[1] == 0
+
+
+class TestJaxLaneDecoder:
+    @pytest.mark.parametrize("lanes", [4, 32, 128])
+    def test_bit_exact_vs_c(self, lanes):
+        rng = np.random.default_rng(lanes + 100)
+        group_lens = rng.integers(1, 2500, 4)
+        sym, idx = _random_stream(rng, int(group_lens.sum()), esc_rate=0.05)
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+        got, carry = _jax_decode(data, idx, group_lens, lanes)
+        assert np.array_equal(got, sym)
+        # the final per-lane state must return to the encoder's init (L)
+        assert np.all(np.asarray(carry.state) == (1 << 16))
+
+    def test_ragged_tail_rows(self):
+        """Group lengths not divisible by lanes exercise the tail masks."""
+        rng = np.random.default_rng(7)
+        group_lens = [129, 1, 127, 255, 3]
+        sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.1)
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=128)
+        got, _ = _jax_decode(data, idx, group_lens, 128)
+        assert np.array_equal(got, sym)
+
+    def test_all_escape_stream(self):
+        rng = np.random.default_rng(11)
+        n = 700
+        idx = np.zeros(n, np.uint8)
+        sym = rng.integers(-32768, 32767, n).astype(np.int16)
+        data = lanes_encode(sym, idx, [n], TABLE, lanes=32)
+        got, _ = _jax_decode(data, idx, [n], 32)
+        assert np.array_equal(got, sym)
+
+    def test_batched_streams(self):
+        """Independent per-image streams decode in one vectorized call."""
+        rng = np.random.default_rng(13)
+        lanes, B = 16, 3
+        group_lens = [1000, 500]
+        syms, datas = [], []
+        for _ in range(B):
+            sym, idx0 = _random_stream(rng, sum(group_lens))
+            syms.append((sym, idx0))
+            datas.append(lanes_encode(sym, idx0, group_lens, TABLE, lanes=lanes))
+        split = [lanes_split(d, lanes) for d in datas]
+        W = max(s[1].shape[1] for s in split)
+        states = np.stack([s[0] for s in split])
+        words = np.stack(
+            [np.pad(s[1], ((0, 0), (0, W - s[1].shape[1]))) for s in split]
+        )
+        tbl = rt.device_table(TABLE)
+        carry = rt.init_lane_state(jnp.asarray(states))
+        wj = jnp.asarray(words)
+        base = 0
+        for gl in group_lens:
+            gi = jnp.asarray(np.stack([s[1][base : base + gl] for s in syms]))
+            carry, out = rt.decode_group(carry, wj, gi, tbl, lanes=lanes)
+            for b in range(B):
+                assert np.array_equal(
+                    np.asarray(out[b], np.int16), syms[b][0][base : base + gl]
+                )
+            base += gl
+
+    def test_combined_table(self):
+        """Groups coded against different sub-tables of a combined table."""
+        from rgbdc_tpu.coder.rans_tpu import combine_tables
+
+        rng = np.random.default_rng(17)
+        sub = build_gaussian_tables(get_scale_table()[:8])
+        comb = combine_tables(TABLE, sub)
+        n1, n2 = 800, 600
+        idx1 = rng.integers(0, 64, n1).astype(np.uint8)
+        idx2 = (64 + rng.integers(0, 8, n2)).astype(np.uint8)
+        sym = rng.integers(-20, 20, n1 + n2).astype(np.int16)
+        idx = np.concatenate([idx1, idx2])
+        data = lanes_encode(sym, idx, [n1, n2], comb, lanes=8)
+        tbl = rt.device_table(comb)
+        states, words = lanes_split(data, 8)
+        carry = rt.init_lane_state(jnp.asarray(states))
+        wj = jnp.asarray(words)
+        carry, o1 = rt.decode_group(carry, wj, jnp.asarray(idx1), tbl, lanes=8)
+        carry, o2 = rt.decode_group(carry, wj, jnp.asarray(idx2), tbl, lanes=8)
+        got = np.concatenate([np.asarray(o1), np.asarray(o2)]).astype(np.int16)
+        assert np.array_equal(got, sym)
