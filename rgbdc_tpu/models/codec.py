@@ -623,7 +623,11 @@ class UnitedCodec:
             lambda v, ry, dy: model.apply(v, ry, dy, method=mt.synthesize)
         )
 
-    def compress(self, rgb, depth) -> dict:
+    def _encode_stage_flow(self, rgb, depth):
+        """Drive the shared per-stage programs over all slices; returns the
+        device-side (sym, idx) group lists in coding order plus y_hat.
+        These are the SAME compiled program objects decompress uses — the
+        bit-exact closure both wire formats rely on."""
         v = self.variables
         rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
         rgb_hyper, depth_hyper = self._hyper(v, rz_sym, dz_sym)
@@ -658,7 +662,12 @@ class UnitedCodec:
                 _start_host_copy((d_sym_a, idx2)),
                 _start_host_copy((d_sym_na, idx4)),
             ]
+        return rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev
 
+    def compress(self, rgb, depth) -> dict:
+        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = (
+            self._encode_stage_flow(rgb, depth)
+        )
         rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
             (rz_sym, dz_sym, r_groups, d_groups)
         )
@@ -758,18 +767,23 @@ class UnitedCodec:
 
     # -- lane-format (on-device decode) path ----------------------------------
     #
-    # The compat path above is phase-serial on the HOST: 20 blocking
+    # The compat path above is phase-serial on the HOST: 20 BLOCKING
     # device->host round trips per image batch (~25 ms RTT each through the
-    # tunnel).  The lane path moves the entire decode on-device: the
-    # bitstream is the lane-split rans32 format (coder/csrc/rans.cpp), the
-    # decoder is ONE jitted program chaining stage CNNs with lockstep scan
-    # decoding (coder/rans_tpu.py) — only compressed bytes cross the link.
+    # tunnel), because every phase's symbols must come back for the C rANS
+    # decoder.  The lane path keeps the symbols on the DEVICE: the bitstream
+    # is the lane-split rans32 format (coder/csrc/rans.cpp) and each group
+    # decodes with the lockstep scan decoder (coder/rans_tpu.py).  The host
+    # still drives the phase loop, but every call is an ASYNC dispatch —
+    # nothing blocks until the final x_hat fetch.
     #
-    # Bit-exact closure: the encoder's stage computations run in a single
-    # fused program whose per-stage subgraphs are the same model methods the
-    # decoder program calls; the roundtrip tests assert decoder y_hat ==
-    # encoder y_hat exactly (tests/test_codec_lanes.py) — the fused-program
-    # analog of the shared-stage-program invariant.
+    # Bit-exact closure: the decode loop calls the SAME compiled stage
+    # program objects (self._s1..s4/_hyper/_synth) the encoder drives in
+    # _encode_stage_flow.  This is load-bearing: a fused single-program
+    # decoder was tried and DESYNCS on real TPUs — XLA compiles the stage
+    # convs with different bf16 tiling in differently-fused programs, the
+    # means jitter at ~1e-4, and one flipped CDF index corrupts the stream
+    # (the CPU tests pass; only the TPU shows it).  Do not re-fuse the
+    # stage programs across the encoder/decoder boundary.
     #
     # Rate trade-off vs the compat format: 8 bytes/lane of container
     # overhead per stream (state+count headers); at the default 128 lanes
@@ -777,6 +791,8 @@ class UnitedCodec:
     # reference bpp parity; this path is the serving/throughput format.
 
     LANES = int(os.environ.get("RGBDC_LANES", "128"))
+    # word-matrix widths are bucketed so repeat batches reuse compiled fns
+    WORD_BUCKET = 512
 
     def _lane_setup(self):
         if getattr(self, "_lane_ready", False):
@@ -795,136 +811,48 @@ class UnitedCodec:
         self._comb_d = _rt.combine_tables(
             self.tables.gc, self.tables.eb["depth_entropy_bottleneck"]
         )
-        self._dev_tbl_r = _rt.device_table(self._comb_r)
-        self._dev_tbl_d = _rt.device_table(self._comb_d)
-
-        model = self.model
-        mt = type(model)
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
-        n_slices = len(model.slice_ch)
         lanes = self.LANES
+        n = self.model.N
 
-        def encode_all(v, rgb, depth):
-            """Every (slice, stage) symbol/index tensor in ONE program."""
-            rgb_y, depth_y, rz_sym, dz_sym = model.apply(
-                v, rgb, depth, method=mt.encode_front
-            )
-            rgb_hyper, depth_hyper = model.apply(
-                v, rz_sym, dz_sym, method=mt.hyper_decode
-            )
-            r_groups, d_groups, r_prev, d_prev = [], [], [], []
-            for i in range(n_slices):
-                idx1, r_mn_a, init = model.apply(
-                    v, i, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper,
-                    st, method=mt.stage_rgb_anchor,
-                )
-                r_sym_a = model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)
-                idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
-                    v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
-                )
-                d_sym_a = model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)
-                idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
-                    v, i, d_sym_a, d_mn_a, r_local, init, st,
-                    method=mt.stage_rgb_nonanchor,
-                )
-                r_sym_na = model.apply(
-                    v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols
-                )
-                idx4, d_mn_na, r_hat_slice = model.apply(
-                    v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
-                    method=mt.stage_depth_nonanchor,
-                )
-                d_sym_na = model.apply(
-                    v, i, depth_y, d_mn_na, method=mt.nonanchor_symbols
-                )
-                d_hat_slice = model.apply(
-                    v, d_anchor_hat, d_sym_na, d_mn_na, method=mt.merge_depth_slice
-                )
-                r_prev.append(r_hat_slice)
-                d_prev.append(d_hat_slice)
-                r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
-                d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
-            return (
-                rz_sym, dz_sym, r_groups, d_groups,
-                jnp.concatenate(r_prev, axis=-1),
-                jnp.concatenate(d_prev, axis=-1),
-            )
+        def make_dec(table):
+            tbl = _rt.device_table(table)
 
-        self._encode_all = jax.jit(encode_all)
+            def dec(state, pos, words, idx):
+                b = idx.shape[0]
+                carry = _rt.LaneState(state, pos)
+                carry, flat = _rt.decode_group(
+                    carry, words, idx.astype(jnp.int32).reshape(b, -1), tbl, lanes
+                )
+                return carry.state, carry.pos, flat.reshape(idx.shape).astype(jnp.int16)
 
-        def decode_all(v, r_states, r_words, d_states, d_words, zh, zw):
-            b = r_states.shape[0]
-            n = model.N
-
-            def z_indexes():
+            def dec_z(state, words, zh, zw):
+                b = state.shape[0]
                 c = jnp.arange(n, dtype=jnp.int32) + 64
-                return jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
+                idx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
+                carry = _rt.LaneState(state, jnp.zeros(state.shape, jnp.int32))
+                carry, flat = _rt.decode_group(carry, words, idx, tbl, lanes)
+                return carry.state, carry.pos, flat.reshape(b, zh, zw, n)
 
-            rc = self._rt.init_lane_state(r_states)
-            dc = self._rt.init_lane_state(d_states)
-            rc, rz_flat = self._rt.decode_group(
-                rc, r_words, z_indexes(), self._dev_tbl_r, lanes
-            )
-            dc, dz_flat = self._rt.decode_group(
-                dc, d_words, z_indexes(), self._dev_tbl_d, lanes
-            )
-            rz_sym = rz_flat.reshape(b, zh, zw, n)
-            dz_sym = dz_flat.reshape(b, zh, zw, n)
-            rgb_hyper, depth_hyper = model.apply(
-                v, rz_sym, dz_sym, method=mt.hyper_decode
-            )
+            return jax.jit(dec), jax.jit(dec_z, static_argnums=(2, 3))
 
-            def pull(carry, words, tbl, idx):
-                carry, flat = self._rt.decode_group(
-                    carry, words, idx.reshape(b, -1).astype(jnp.int32), tbl, lanes
-                )
-                return carry, flat.reshape(idx.shape).astype(jnp.int16)
-
-            r_prev, d_prev = [], []
-            for i in range(n_slices):
-                idx1, r_mn_a, init = model.apply(
-                    v, i, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper,
-                    st, method=mt.stage_rgb_anchor,
-                )
-                rc, r_sym_a = pull(rc, r_words, self._dev_tbl_r, idx1)
-                idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
-                    v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
-                )
-                dc, d_sym_a = pull(dc, d_words, self._dev_tbl_d, idx2)
-                idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
-                    v, i, d_sym_a, d_mn_a, r_local, init, st,
-                    method=mt.stage_rgb_nonanchor,
-                )
-                rc, r_sym_na = pull(rc, r_words, self._dev_tbl_r, idx3)
-                idx4, d_mn_na, r_hat_slice = model.apply(
-                    v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
-                    method=mt.stage_depth_nonanchor,
-                )
-                dc, d_sym_na = pull(dc, d_words, self._dev_tbl_d, idx4)
-                d_hat_slice = model.apply(
-                    v, d_anchor_hat, d_sym_na, d_mn_na, method=mt.merge_depth_slice
-                )
-                r_prev.append(r_hat_slice)
-                d_prev.append(d_hat_slice)
-
-            rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
-            depth_y_hat = jnp.concatenate(d_prev, axis=-1)
-            rgb_hat, depth_hat = model.apply(
-                v, rgb_y_hat, depth_y_hat, method=mt.synthesize
-            )
-            return rgb_hat, depth_hat, rgb_y_hat, depth_y_hat
-
-        self._decode_all = jax.jit(decode_all, static_argnums=(5, 6))
+        self._dec_r, self._dec_z_r = make_dec(self._comb_r)
+        self._dec_d, self._dec_z_d = make_dec(self._comb_d)
         self._lane_ready = True
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
-        per image; on-device-decodable)."""
+        per image; on-device-decodable).  Stage computations are the shared
+        per-stage programs — identical to what decompress_lanes replays."""
         self._lane_setup()
-        out = self._encode_all(self.variables, rgb, depth)
-        rz_sym, dz_sym, r_groups, d_groups, r_y_hat, d_y_hat = jax.device_get(out)
+        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = (
+            self._encode_stage_flow(rgb, depth)
+        )
+        r_y_hat = jnp.concatenate(r_prev, axis=-1)
+        d_y_hat = jnp.concatenate(d_prev, axis=-1)
+        rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
+            (rz_sym, dz_sym, r_groups, d_groups)
+        )
         b = rz_sym.shape[0]
-        n = self.model.N
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
 
         def build_stream(n_img, z_sym, groups, table):
@@ -953,10 +881,6 @@ class UnitedCodec:
             "y_hat": {"r": r_y_hat, "d": d_y_hat},
         }
 
-    # word-matrix widths are bucketed so repeat batches reuse the compiled
-    # decoder (jit keys on shapes)
-    WORD_BUCKET = 512
-
     def _stack_streams(self, streams):
         split = [self._lanes_split(s, self.LANES) for s in streams]
         w = max(max((s[1].shape[1] for s in split), default=1), 1)
@@ -968,18 +892,47 @@ class UnitedCodec:
         return jnp.asarray(states), jnp.asarray(words)
 
     def decompress_lanes(self, r_streams, d_streams, shape) -> dict:
-        """Fully on-device decode: upload the bitstreams, run ONE jitted
-        program (stage CNNs + lockstep rans scans), download x_hat."""
+        """On-device decode: upload the bitstreams once, then replay the
+        shared stage programs interleaved with jitted scan-decode calls —
+        all async dispatches, zero blocking host pulls."""
         self._lane_setup()
+        v = self.variables
         zh, zw = int(shape[0]), int(shape[1])
-        r_states, r_words = self._stack_streams(r_streams)
-        d_states, d_words = self._stack_streams(d_streams)
-        rgb_hat, depth_hat, r_y_hat, d_y_hat = self._decode_all(
-            self.variables, r_states, r_words, d_states, d_words, zh, zw
-        )
+        r_state, r_words = self._stack_streams(r_streams)
+        d_state, d_words = self._stack_streams(d_streams)
+
+        r_state, r_pos, rz_sym = self._dec_z_r(r_state, r_words, zh, zw)
+        d_state, d_pos, dz_sym = self._dec_z_d(d_state, d_words, zh, zw)
+        rgb_hyper, depth_hyper = self._hyper(v, rz_sym, dz_sym)
+
+        r_prev, d_prev = [], []
+        for i in range(len(self.model.slice_ch)):
+            idx1, r_mn_a, init = self._s1[i](
+                v, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper
+            )
+            r_state, r_pos, r_sym_a = self._dec_r(r_state, r_pos, r_words, idx1)
+            idx2, d_mn_a, r_anchor_hat, r_local = self._s2[i](
+                v, r_sym_a, r_mn_a, init
+            )
+            d_state, d_pos, d_sym_a = self._dec_d(d_state, d_pos, d_words, idx2)
+            idx3, r_mn_na, d_anchor_hat, d_local = self._s3[i](
+                v, d_sym_a, d_mn_a, r_local, init
+            )
+            r_state, r_pos, r_sym_na = self._dec_r(r_state, r_pos, r_words, idx3)
+            idx4, d_mn_na, r_hat_slice = self._s4[i](
+                v, r_anchor_hat, r_sym_na, r_mn_na, d_local, init
+            )
+            d_state, d_pos, d_sym_na = self._dec_d(d_state, d_pos, d_words, idx4)
+            d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
+            r_prev.append(r_hat_slice)
+            d_prev.append(d_hat_slice)
+
+        rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
+        depth_y_hat = jnp.concatenate(d_prev, axis=-1)
+        rgb_hat, depth_hat = self._synth(v, rgb_y_hat, depth_y_hat)
         return {
             "x_hat": {"r": rgb_hat, "d": depth_hat},
-            "y_hat": {"r": r_y_hat, "d": d_y_hat},
+            "y_hat": {"r": rgb_y_hat, "d": depth_y_hat},
         }
 
     # -- chunked pipelining ---------------------------------------------------

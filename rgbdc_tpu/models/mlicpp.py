@@ -19,6 +19,8 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 
 from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
@@ -88,10 +90,10 @@ class _MlicHyperAnalysis(nn.Module):
     @nn.compact
     def __call__(self, x):
         n = self.N
-        x = jax.nn.gelu(conv3x3(n)(x))
-        x = jax.nn.gelu(conv3x3(n)(x))
-        x = jax.nn.gelu(conv3x3(n, stride=2)(x))
-        x = jax.nn.gelu(conv3x3(n)(x))
+        x = exact_gelu(conv3x3(n)(x))
+        x = exact_gelu(conv3x3(n)(x))
+        x = exact_gelu(conv3x3(n, stride=2)(x))
+        x = exact_gelu(conv3x3(n)(x))
         return conv3x3(n, stride=2)(x)
 
 
@@ -101,10 +103,10 @@ class _MlicHyperSynthesis(nn.Module):
     @nn.compact
     def __call__(self, x):
         m = self.M
-        x = jax.nn.gelu(conv3x3(m)(x))
-        x = jax.nn.gelu(SubpelConv3x3(m, 2)(x))
-        x = jax.nn.gelu(conv3x3(m * 3 // 2)(x))
-        x = jax.nn.gelu(SubpelConv3x3(m * 3 // 2, 2)(x))
+        x = exact_gelu(conv3x3(m)(x))
+        x = exact_gelu(SubpelConv3x3(m, 2)(x))
+        x = exact_gelu(conv3x3(m * 3 // 2)(x))
+        x = exact_gelu(SubpelConv3x3(m * 3 // 2, 2)(x))
         return conv3x3(m * 2)(x)
 
 
@@ -306,7 +308,7 @@ class _EPMlic(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.gelu(nn.Conv(320, (1, 1))(x))
-        x = jax.nn.gelu(nn.Conv(256, (1, 1))(x))
-        x = jax.nn.gelu(nn.Conv(128, (1, 1))(x))
+        x = exact_gelu(nn.Conv(320, (1, 1))(x))
+        x = exact_gelu(nn.Conv(256, (1, 1))(x))
+        x = exact_gelu(nn.Conv(128, (1, 1))(x))
         return nn.Conv(self.out_dim, (1, 1))(x)

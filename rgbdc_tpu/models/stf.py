@@ -21,6 +21,8 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 
 from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
@@ -38,13 +40,13 @@ class StfHyperAnalysis(nn.Module):
     def __call__(self, x):
         m, n = self.M, self.N
         x = conv3x3(m)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = conv3x3(m * 7 // 8)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = conv3x3(m * 3 // 4, stride=2)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = conv3x3(m * 5 // 8)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         return conv3x3(n, stride=2)(x)
 
 
@@ -58,13 +60,13 @@ class StfHyperSynthesis(nn.Module):
     def __call__(self, x):
         m, n = self.M, self.N
         x = conv3x3(m * 5 // 8)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = SubpelConv3x3(m * 3 // 4, 2)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = conv3x3(m * 7 // 8)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         x = SubpelConv3x3(m, 2)(x)
-        x = jax.nn.gelu(x)
+        x = exact_gelu(x)
         return conv3x3(m)(x)
 
 
@@ -77,7 +79,7 @@ class _CCTransform(nn.Module):
     def __call__(self, x):
         for ch in (224, 176, 128, 64):
             x = conv3x3(ch)(x)
-            x = jax.nn.gelu(x)
+            x = exact_gelu(x)
         return conv3x3(self.out_dim)(x)
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 
 from .layers import ResidualBlock, conv1x1, conv3x3
@@ -100,7 +102,7 @@ class _CrossSwinBlock(nn.Module):
 
         y = nn.LayerNorm()(x)
         y = nn.Dense(int(c * self.mlp_ratio))(y)
-        y = jax.nn.gelu(y)
+        y = exact_gelu(y)
         y = nn.Dense(c)(y)
         return x + y
 

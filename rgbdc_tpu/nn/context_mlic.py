@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,7 +125,7 @@ class LocalContext(nn.Module):
         out = nn.Dense(2 * c)(out)  # proj
         res = nn.LayerNorm()(out)
         res = nn.Dense(int(2 * c * self.mlp_ratio))(res)
-        res = jax.nn.gelu(res)
+        res = exact_gelu(res)
         res = nn.Dense(2 * c)(res)
         return out + res
 
@@ -133,8 +135,8 @@ class ChannelContextMLIC(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.gelu(nn.Conv(192, (3, 3), padding="SAME")(x))
-        x = jax.nn.gelu(nn.Conv(128, (3, 3), padding="SAME")(x))
+        x = exact_gelu(nn.Conv(192, (3, 3), padding="SAME")(x))
+        x = exact_gelu(nn.Conv(128, (3, 3), padding="SAME")(x))
         return nn.Conv(self.out_dim * 4, (3, 3), padding="SAME")(x)
 
 
@@ -181,12 +183,12 @@ class LinearGlobalInterContext(nn.Module):
         agg = agg.reshape(b, h, w, self.dim)
         attn = nn.Conv(self.out_dim * 3 // 2, (5, 5), padding="SAME")(agg)
         mlp = nn.Conv(self.out_dim * 2, (1, 1))(attn)
-        mlp = jax.nn.gelu(mlp)
+        mlp = exact_gelu(mlp)
         mlp = nn.Conv(
             self.out_dim * 2, (3, 3), padding="SAME",
             feature_group_count=self.out_dim * 2,
         )(mlp)
-        mlp = jax.nn.gelu(mlp)
+        mlp = exact_gelu(mlp)
         mlp = nn.Conv(self.out_dim, (1, 1))(mlp)
         skip = nn.Conv(self.out_dim, (1, 1))(attn)
         return skip + mlp
@@ -237,11 +239,11 @@ class LinearGlobalIntraContext(nn.Module):
         agg = jnp.concatenate(outs, axis=-1).reshape(b, h, w, self.dim)
         attn = nn.Conv(self.dim * 2, (5, 5), padding="SAME")(agg)
         mlp = nn.Conv(self.dim * 4, (1, 1))(attn)
-        mlp = jax.nn.gelu(mlp)
+        mlp = exact_gelu(mlp)
         mlp = nn.Conv(
             self.dim * 4, (3, 3), padding="SAME", feature_group_count=self.dim * 4
         )(mlp)
-        mlp = jax.nn.gelu(mlp)
+        mlp = exact_gelu(mlp)
         mlp = nn.Conv(self.dim * 2, (1, 1))(mlp)
         return attn + mlp
 
@@ -255,6 +257,6 @@ class LatentResidualPrediction(nn.Module):
         diff = abs(in_dim - self.out_dim)
         for ch in (in_dim - diff // 4, in_dim - diff // 2, in_dim - diff * 3 // 4):
             x = nn.Conv(ch, (3, 3), padding="SAME")(x)
-            x = jax.nn.gelu(x)
+            x = exact_gelu(x)
         x = nn.Conv(self.out_dim, (3, 3), padding="SAME")(x)
         return 0.5 * jnp.tanh(x)

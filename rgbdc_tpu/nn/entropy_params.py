@@ -11,6 +11,8 @@ from collections.abc import Callable
 import flax.linen as nn
 import jax
 
+from ..ops.math import exact_gelu
+
 from .attention import SEBlock
 
 Act = Callable[[jax.Array], jax.Array]
@@ -33,7 +35,7 @@ class EntropyParameters(nn.Module):
 
 class EntropyParametersEX(nn.Module):
     out_dim: int
-    act: Act = jax.nn.gelu
+    act: Act = exact_gelu
 
     @nn.compact
     def __call__(self, x):

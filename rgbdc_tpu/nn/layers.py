@@ -2,15 +2,23 @@
 
 Architecture spec (layer graph, channel plan) follows the reference's
 modules/layers/{conv.py,res_blk.py} and CompressAI layers
-(compressai/layers/layers.py:162-213), re-expressed channels-last.  Strided
-convs use SAME padding (XLA-native) instead of torch's symmetric padding —
-weights are not ported, so only the stride-2 down/up factor matters.
+(compressai/layers/layers.py:162-213), re-expressed channels-last.
+
+Padding is TORCH-EXACT (symmetric k//2 for conv; the conv-transpose dual
+of padding=k//2 + output_padding=s-1 for deconv, with transpose_kernel so
+the math matches torch's gradient-of-conv semantics).  This makes every
+transform block numerically interchangeable with the reference given
+converted weights — the golden-parity tests
+(tests/test_golden_parity.py) depend on it.  On TPU an explicit pad is
+the same XLA conv as SAME padding; there is no performance cost.
 """
 
 from collections.abc import Callable
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 
 from ..ops.gdn import GDN
@@ -19,7 +27,10 @@ Act = Callable[[jax.Array], jax.Array]
 
 
 def conv(features: int, kernel: int = 5, stride: int = 2) -> nn.Conv:
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride), padding="SAME")
+    p = kernel // 2
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride), padding=((p, p), (p, p))
+    )
 
 
 def conv1x1(features: int, stride: int = 1) -> nn.Conv:
@@ -27,12 +38,21 @@ def conv1x1(features: int, stride: int = 1) -> nn.Conv:
 
 
 def conv3x3(features: int, stride: int = 1) -> nn.Conv:
-    return nn.Conv(features, (3, 3), strides=(stride, stride), padding="SAME")
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)))
 
 
 def deconv(features: int, kernel: int = 5, stride: int = 2) -> nn.ConvTranspose:
+    """torch ConvTranspose2d(k, s, padding=k//2, output_padding=s-1) exact:
+    lo = k-1-k//2, hi = lo + (s-1); transpose_kernel flips + swaps in/out
+    so the kernel math is the gradient-of-conv, like torch."""
+    lo = kernel - 1 - kernel // 2
+    hi = lo + (stride - 1)
     return nn.ConvTranspose(
-        features, (kernel, kernel), strides=(stride, stride), padding="SAME"
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((lo, hi), (lo, hi)),
+        transpose_kernel=True,
     )
 
 
@@ -100,7 +120,7 @@ class ResidualBlockWithStride(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = conv3x3(self.features, stride=self.stride)(x)
-        h = jax.nn.gelu(h)
+        h = exact_gelu(h)
         h = conv3x3(self.features)(h)
         h = GDN(channels=self.features)(h)
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -117,7 +137,7 @@ class ResidualBlockUpsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = SubpelConv3x3(self.features, self.upsample)(x)
-        h = jax.nn.gelu(h)
+        h = exact_gelu(h)
         h = conv3x3(self.features)(h)
         h = GDN(channels=self.features, inverse=True)(h)
         skip = SubpelConv3x3(self.features, self.upsample)(x)
@@ -163,11 +183,11 @@ class _GeluResidualUnit(nn.Module):
     def __call__(self, x):
         n = self.features
         h = conv1x1(n // 2)(x)
-        h = jax.nn.gelu(h)
+        h = exact_gelu(h)
         h = conv3x3(n // 2)(h)
-        h = jax.nn.gelu(h)
+        h = exact_gelu(h)
         h = conv1x1(n)(h)
-        return jax.nn.gelu(h + x)
+        return exact_gelu(h + x)
 
 
 class WinNoShiftAttention(nn.Module):

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+
+from ..ops.math import exact_gelu
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,7 +131,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm()(x)
         y = nn.Dense(int(c * self.mlp_ratio))(y)
-        y = jax.nn.gelu(y)
+        y = exact_gelu(y)
         y = nn.Dense(c)(y)
         return x + y
 

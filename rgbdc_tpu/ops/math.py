@@ -44,3 +44,13 @@ def _lower_bound_bwd(bound, x, g):
 
 
 lower_bound.defvjp(_lower_bound_fwd, _lower_bound_bwd)
+
+
+def exact_gelu(x):
+    """erf-form GELU (torch nn.GELU default, approximate='none').
+
+    jax.nn.gelu defaults to the tanh approximation, which differs from the
+    reference at the 1e-3 level — enough to break golden weight parity."""
+    import jax
+
+    return jax.nn.gelu(x, approximate=False)
