@@ -40,7 +40,24 @@ DEFAULT_LANES = 128
 
 
 class DeviceCdfTable(NamedTuple):
-    """CdfTable mirrored on device, flattened for 1-gather binary search."""
+    """CdfTable mirrored on device.
+
+    Two symbol-lookup strategies:
+      * binary search over cdf_flat (search_steps gathers) — memory-light,
+        used by tests and as the non-LUT fallback;
+      * a packed 16-bit-cum LUT (lut=...): lut[idx*65536 + cum] is a PAIR
+        of uint32 fetched with ONE 2-wide sliced gather — TPU gathers are
+        descriptor-bound (a 2-wide slice costs the same as 1 element, see
+        docs/PERF.md), so the whole symbol lookup including escape flag
+        and offset folding is a single descriptor per symbol:
+          word0 = esc<<31 | (offset & 0x7fff)<<16 | value16
+                  (value16 = s+offset, or maxv+offset on escape rows)
+          word1 = freq<<16 | start
+        The LUT costs 8 bytes x n_rows x 65536 of HBM (134 MB at 256 rows)
+        and must be passed to jitted functions as an ARGUMENT — a closure
+        capture would inline it into the HLO (and re-upload it through the
+        axon tunnel on every compile).
+    """
 
     cdf_flat: jnp.ndarray  # [n * stride] int32
     cdf_length: jnp.ndarray  # [n] int32
@@ -60,6 +77,34 @@ def device_table(table: CdfTable) -> DeviceCdfTable:
         stride=stride,
         search_steps=steps,
     )
+
+
+def build_lut(table: CdfTable) -> np.ndarray:
+    """[n * 65536, 2] uint32 packed decode LUT (see DeviceCdfTable)."""
+    n = table.cdf.shape[0]
+    lut = np.empty((n, 1 << 16, 2), np.uint32)
+    cums = np.arange(1 << 16, dtype=np.int32)
+    for r in range(n):
+        ln = int(table.cdf_length[r])
+        row = table.cdf[r, :ln].astype(np.int64)
+        off = int(table.offset[r])
+        maxv = ln - 2
+        assert -(1 << 14) <= off < (1 << 14), "offset exceeds 15-bit packing"
+        # largest s with row[s] <= cum (C find_symbol)
+        s = np.clip(np.searchsorted(row, cums, side="right") - 1, 0, maxv)
+        esc = s == maxv
+        value16 = np.where(esc, maxv + off, s + off)
+        assert np.abs(value16).max() < (1 << 15), "value exceeds int16 packing"
+        off_u = np.uint32(off & 0x7FFF)
+        lut[r, :, 0] = (
+            (esc.astype(np.uint32) << 31)
+            | (off_u << 16)
+            | (value16.astype(np.int32).view(np.uint32) & 0xFFFF)
+        )
+        start = row[s].astype(np.uint32)
+        freq = (row[s + 1] - row[s]).astype(np.uint32)
+        lut[r, :, 1] = (freq << 16) | start
+    return lut.reshape(n * (1 << 16), 2)
 
 
 def combine_tables(*tables: CdfTable) -> CdfTable:
@@ -140,18 +185,47 @@ def _find_symbol(tbl: DeviceCdfTable, idx, cum, length):
     return lo
 
 
-def _decode_row(carry: LaneState, words, idx_row, act, tbl: DeviceCdfTable):
-    """Decode one lockstep row: every active lane pops one symbol."""
+def _sext(x, bits):
+    """Sign-extend the low `bits` of an int32."""
+    m = jnp.int32(1 << (bits - 1))
+    return (x ^ m) - m
+
+
+def _decode_row(carry: LaneState, words, idx_row, act, tbl):
+    """Decode one lockstep row: every active lane pops one symbol.
+
+    tbl is either a DeviceCdfTable (binary-search mode) or a packed
+    [n*65536, 2] uint32 LUT array (one-descriptor mode, see build_lut)."""
     state, pos = carry.state, carry.pos
     idx_row = jnp.where(act, idx_row, 0)  # keep gathers in-bounds
-    length = jnp.take(tbl.cdf_length, idx_row)
-    maxv = length - 2
-
     cum = (state & MASK16).astype(jnp.int32)
-    s = _find_symbol(tbl, idx_row, cum, length)
-    base = idx_row * tbl.stride
-    start = jnp.take(tbl.cdf_flat, base + s)
-    freq = (jnp.take(tbl.cdf_flat, base + s + 1) - start).astype(jnp.uint32)
+
+    lut_mode = not isinstance(tbl, DeviceCdfTable)
+    if lut_mode:
+        pos16 = (idx_row << 16) | cum
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(idx_row.ndim,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        )
+        pair = jax.lax.gather(tbl, pos16[..., None], dn, slice_sizes=(1, 2))
+        w0 = pair[..., 0]
+        w1 = pair[..., 1]
+        esc_flag = (w0 >> 31).astype(bool)
+        value16 = _sext((w0 & MASK16).astype(jnp.int32), 16)  # s+off | maxv+off
+        offset = _sext(((w0 >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32), 15)
+        start = (w1 & MASK16).astype(jnp.int32)
+        freq = w1 >> 16
+        s = value16  # already offset-folded (shape/dtype anchor for n_byp)
+    else:
+        length = jnp.take(tbl.cdf_length, idx_row)
+        maxv = length - 2
+        s = _find_symbol(tbl, idx_row, cum, length)
+        base = idx_row * tbl.stride
+        start = jnp.take(tbl.cdf_flat, base + s)
+        freq = (jnp.take(tbl.cdf_flat, base + s + 1) - start).astype(jnp.uint32)
+        esc_flag = s == maxv
+        offset = jnp.take(tbl.offset, idx_row)
 
     adv = (state >> 16) * freq + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
     adv, npos = _renorm(adv, pos, words, act)
@@ -159,7 +233,7 @@ def _decode_row(carry: LaneState, words, idx_row, act, tbl: DeviceCdfTable):
     pos = jnp.where(act, npos, pos)
 
     # --- escape path (rare): count chain, then LSB-first 4-bit chunks -------
-    esc = act & (s == maxv)
+    esc = act & esc_flag
     n_byp = jnp.zeros_like(s)
 
     def a_cond(c):
@@ -192,9 +266,13 @@ def _decode_row(carry: LaneState, words, idx_row, act, tbl: DeviceCdfTable):
     state, pos, raw, _ = jax.lax.while_loop(b_cond, b_body, (state, pos, raw, j0))
 
     v = (raw >> 1).astype(jnp.int32)
-    esc_value = jnp.where((raw & 1).astype(bool), -v - 1, v + maxv)
-    value = jnp.where(esc, esc_value, s)
-    sym = jnp.where(act, value + jnp.take(tbl.offset, idx_row), 0)
+    if lut_mode:
+        esc_value = jnp.where((raw & 1).astype(bool), -v - 1 + offset, v + value16)
+        value = jnp.where(esc, esc_value, value16)
+    else:
+        esc_value = jnp.where((raw & 1).astype(bool), -v - 1, v + maxv)
+        value = jnp.where(esc, esc_value, s) + offset
+    sym = jnp.where(act, value, 0)
     return LaneState(state, pos), sym
 
 

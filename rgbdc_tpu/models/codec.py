@@ -815,25 +815,33 @@ class UnitedCodec:
         n = self.model.N
 
         def make_dec(table):
-            tbl = _rt.device_table(table)
+            # the packed decode LUT is ~134 MB: it must be a device-resident
+            # ARGUMENT of the jitted fns (a closure capture would inline it
+            # into the HLO and re-ship it through the tunnel per compile)
+            lut = jax.device_put(jnp.asarray(_rt.build_lut(table)))
 
-            def dec(state, pos, words, idx):
+            def dec(state, pos, words, idx, lut):
                 b = idx.shape[0]
                 carry = _rt.LaneState(state, pos)
                 carry, flat = _rt.decode_group(
-                    carry, words, idx.astype(jnp.int32).reshape(b, -1), tbl, lanes
+                    carry, words, idx.astype(jnp.int32).reshape(b, -1), lut, lanes
                 )
                 return carry.state, carry.pos, flat.reshape(idx.shape).astype(jnp.int16)
 
-            def dec_z(state, words, zh, zw):
+            def dec_z(state, words, zh, zw, lut):
                 b = state.shape[0]
                 c = jnp.arange(n, dtype=jnp.int32) + 64
                 idx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
                 carry = _rt.LaneState(state, jnp.zeros(state.shape, jnp.int32))
-                carry, flat = _rt.decode_group(carry, words, idx, tbl, lanes)
+                carry, flat = _rt.decode_group(carry, words, idx, lut, lanes)
                 return carry.state, carry.pos, flat.reshape(b, zh, zw, n)
 
-            return jax.jit(dec), jax.jit(dec_z, static_argnums=(2, 3))
+            jd = jax.jit(dec)
+            jdz = jax.jit(dec_z, static_argnums=(2, 3))
+            return (
+                lambda s, p, w, i: jd(s, p, w, i, lut),
+                lambda s, w, zh, zw: jdz(s, w, zh, zw, lut),
+            )
 
         self._dec_r, self._dec_z_r = make_dec(self._comb_r)
         self._dec_d, self._dec_z_d = make_dec(self._comb_d)

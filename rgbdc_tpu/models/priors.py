@@ -6,8 +6,11 @@ Functional parity with reference CompressAI/compressai/models/priors.py:
   - MeanScaleHyperprior (:286-349): hyper predicts (sigma, mu)
   - JointAutoregressiveHierarchicalPriors (:352-583): adds a PixelCNN-style
     masked-conv spatial context.  Its decode is pixel-serial by construction
-    (reference runs a python loop per pixel, :553-583) — on TPU we provide
-    the training/estimation forward and compress(); the checkerboard codecs
+    (reference runs a python loop per pixel, :553-583); JointARCodec below
+    implements the real host-serial compress/decompress (reference
+    _compress_ar :482-518 / _decompress_ar :553-583) with a pure-numpy
+    per-pixel pipeline shared by encoder and decoder (bit-exact closure by
+    construction).  It is correct, not fast — the checkerboard codecs
     (models/elic.py etc.) are this framework's deployable AR family.
 
 All NHWC; compress/decompress for the dense (non-AR) models use the same
@@ -256,6 +259,21 @@ class JointAutoregressiveHierarchicalPriors(nn.Module):
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
+    # codec stage surface (driven by JointARCodec)
+    def encode_front(self, x):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        medians = self.entropy_bottleneck.medians()
+        z_sym = jnp.round(z - medians).astype(jnp.int32)
+        return y, z_sym
+
+    def hyper_decode(self, z_sym):
+        medians = self.entropy_bottleneck.medians()
+        return self.h_s(z_sym.astype(jnp.float32) + medians)
+
+    def synthesize(self, y_hat):
+        return self.g_s(y_hat)
+
 
 class HyperpriorCodec:
     """Dense compress/decompress for the (Mean)ScaleHyperprior family:
@@ -327,3 +345,137 @@ class HyperpriorCodec:
         )
         y_hat = jnp.asarray(sym).astype(jnp.float32) + means
         return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}
+
+
+class JointARCodec:
+    """Real pixel-serial codec for JointAutoregressiveHierarchicalPriors
+    (reference priors.py:451-583).
+
+    The per-pixel pipeline (masked 5x5 context conv + the three 1x1
+    entropy-parameter convs + quantize) runs in float32 NUMPY on the host,
+    and the exact same routine drives both compress and decompress — the
+    decoder's reconstructed context buffer therefore matches the encoder's
+    bit for bit (the role cudnn.determinism + CPU-only inference plays in
+    the reference).  Device does g_a/h_a/h_s/g_s; the AR loop is O(H*W)
+    python — correctness-first, like the reference's own warning says.
+    """
+
+    def __init__(self, model, variables, tables=None):
+        from .codec import CodecTables
+
+        self.model = model
+        self.variables = variables
+        self.tables = tables if tables is not None else CodecTables.build(variables)
+        mt = type(model)
+        self._front = jax.jit(lambda v, x: model.apply(v, x, method=mt.encode_front))
+        self._hyper = jax.jit(lambda v, z: model.apply(v, z, method=mt.hyper_decode))
+        self._synth = jax.jit(lambda v, y: model.apply(v, y, method=mt.synthesize))
+
+        p = variables["params"]
+        k = np.asarray(p["context_prediction"]["kernel"], np.float32)  # [5,5,M,2M]
+        mask = np.ones((5, 5, 1, 1), np.float32)
+        mask[2, 2:] = 0
+        mask[3:] = 0
+        self._ctx_kernel = k * mask
+        self._ctx_bias = np.asarray(p["context_prediction"]["bias"], np.float32)
+        ep = p["entropy_parameters"]
+        self._ep = [
+            (
+                np.asarray(ep[f"layers_{i}"]["kernel"], np.float32)[0, 0],
+                np.asarray(ep[f"layers_{i}"]["bias"], np.float32),
+            )
+            for i in (0, 2, 4)
+        ]
+        st = self.tables.scale_table.astype(np.float32)
+        self._st_edges = st[:-1]
+
+    # -- shared per-pixel routine (encoder AND decoder) ----------------------
+
+    def _pixel_params(self, buf, hyper_px, h, w):
+        """(scales, means) [M] at pixel (h, w) from the padded buffer."""
+        crop = buf[h : h + 5, w : w + 5, :]
+        ctx = (
+            np.einsum("hwc,hwco->o", crop, self._ctx_kernel, dtype=np.float32)
+            + self._ctx_bias
+        )
+        f = np.concatenate([hyper_px, ctx]).astype(np.float32)
+        for i, (wgt, b) in enumerate(self._ep):
+            f = f @ wgt + b
+            if i < 2:
+                f = np.where(f >= 0, f, 0.01 * f).astype(np.float32)  # leaky_relu
+        scales, means = np.split(f, 2)
+        idx = np.searchsorted(
+            self._st_edges, np.maximum(scales, 0.11), side="left"
+        ).astype(np.int32)
+        return idx, means.astype(np.float32)
+
+    def compress(self, x) -> dict:
+        from .codec import RansEncoder, eb_channel_indexes
+
+        v = self.variables
+        y, z_sym_dev = self._front(v, x)
+        hyper = self._hyper(v, z_sym_dev)
+        y, hyper, z_sym = jax.device_get((y, hyper, z_sym_dev))
+        b, hgt, wid, m = y.shape
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes(z_sym.shape)
+
+        y_strings, z_strings, y_hats = [], [], []
+        for i in range(b):
+            # reference pads the ORIGINAL y; the masked kernel hides the
+            # not-yet-coded (future) positions (priors.py:473,494-513)
+            buf = np.pad(y[i], ((2, 2), (2, 2), (0, 0))).astype(np.float32)
+            syms, idxs = [], []
+            for h in range(hgt):
+                for w in range(wid):
+                    idx, means = self._pixel_params(buf, hyper[i, h, w], h, w)
+                    sym = np.round(y[i, h, w] - means).astype(np.int32)
+                    buf[h + 2, w + 2] = sym.astype(np.float32) + means
+                    syms.append(sym)
+                    idxs.append(idx)
+            enc = RansEncoder()
+            enc.buffer(np.concatenate(syms), np.concatenate(idxs), self.tables.gc)
+            y_strings.append(enc.flush())
+            enc_z = RansEncoder()
+            enc_z.buffer(z_sym[i], z_idx[i], eb_table)
+            z_strings.append(enc_z.flush())
+            y_hats.append(buf[2:-2, 2:-2])
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (z_sym.shape[1], z_sym.shape[2]),
+            # the decoder must regenerate this buffer bit for bit
+            "y_hat": np.stack(y_hats),
+        }
+
+    def decompress(self, strings, shape) -> dict:
+        from .codec import RansDecoder, eb_channel_indexes
+
+        v = self.variables
+        y_strings, z_strings = strings
+        b = len(y_strings)
+        zh, zw = shape
+        eb_table = self.tables.eb["entropy_bottleneck"]
+        z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
+        z_sym = np.stack(
+            [
+                RansDecoder(z_strings[i]).decode(z_idx[i], eb_table)
+                for i in range(b)
+            ]
+        )
+        hyper = np.asarray(self._hyper(v, jnp.asarray(z_sym)))
+        hgt, wid = zh * 4, zw * 4
+        m = self.model.M
+
+        y_hats = []
+        for i in range(b):
+            dec = RansDecoder(y_strings[i])
+            buf = np.zeros((hgt + 4, wid + 4, m), np.float32)
+            for h in range(hgt):
+                for w in range(wid):
+                    idx, means = self._pixel_params(buf, hyper[i, h, w], h, w)
+                    sym = dec.decode(idx, self.tables.gc).astype(np.float32)
+                    buf[h + 2, w + 2] = sym + means
+            y_hats.append(buf[2:-2, 2:-2])
+        y_hat = jnp.asarray(np.stack(y_hats))
+        x_hat = jnp.clip(self._synth(v, y_hat), 0.0, 1.0)
+        return {"x_hat": x_hat, "y_hat": y_hat}

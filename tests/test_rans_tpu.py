@@ -148,3 +148,29 @@ class TestJaxLaneDecoder:
         carry, o2 = rt.decode_group(carry, wj, jnp.asarray(idx2), tbl, lanes=8)
         got = np.concatenate([np.asarray(o1), np.asarray(o2)]).astype(np.int16)
         assert np.array_equal(got, sym)
+
+
+class TestLutDecoder:
+    @pytest.mark.parametrize("lanes", [32, 128])
+    def test_lut_matches_binary_search(self, lanes):
+        """LUT symbol lookup must be bit-identical to the binary search."""
+        rng = np.random.default_rng(lanes + 500)
+        group_lens = [3000, 1700]
+        sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.05)
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+        states, words = lanes_split(data, lanes)
+        out = {}
+        for lut in (False, True):
+            tbl = jnp.asarray(rt.build_lut(TABLE)) if lut else rt.device_table(TABLE)
+            carry = rt.init_lane_state(jnp.asarray(states))
+            wj = jnp.asarray(words)
+            got, base = [], 0
+            for gl in group_lens:
+                carry, s = rt.decode_group(
+                    carry, wj, jnp.asarray(idx[base : base + gl]), tbl, lanes=lanes
+                )
+                got.append(np.asarray(s))
+                base += gl
+            out[lut] = np.concatenate(got).astype(np.int16)
+        assert np.array_equal(out[True], sym)
+        assert np.array_equal(out[True], out[False])
