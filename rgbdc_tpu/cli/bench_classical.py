@@ -3,8 +3,9 @@ CompressAI/compressai/utils/bench/__main__.py + codecs.py): run standard
 image codecs over a folder and collect RD points.
 
 In-process codecs (PIL): jpeg, webp, jpeg2000.  External binaries (bpg,
-vtm, hm, av1) follow the reference's subprocess pattern and are gated on
-availability in PATH.
+vtm, hm, av1, tfci) follow the reference's subprocess pattern
+(codecs.py:188-717) and are gated on availability in PATH / env config,
+raising a RuntimeError with setup instructions when absent.
 
 Usage: python -m rgbdc_tpu.cli.bench_classical jpeg -d <root> -q 10 30 50
 """
@@ -14,6 +15,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -132,58 +134,55 @@ class BPGCodec:
         }
 
 
-class VTMCodec:
-    """VTM (VVC reference software) subprocess codec following the
-    reference's driver shape (utils/bench/VTM_codecs.py): EncoderApp /
-    DecoderApp over raw YUV, quality = QP.  Gated on the binaries +
-    VTM_CFG_DIR pointing at the encoder config."""
+class _YUV444BinaryCodec:
+    """Shared raw-YUV444 subprocess driver (the pattern behind the
+    reference's VTM/HM/AV1 classes, utils/bench/codecs.py:361-612): RGB ->
+    YCbCr, write 4:4:4 planar 8-bit raw, run the external encoder/decoder,
+    convert back, compute metrics on the RGB pair.  Subclasses provide the
+    command lines and availability gating."""
 
     ext = ".bin"
+    qp_range = (0, 63)
 
     def __init__(self, quality: int):
-        import os
-
         self.qp = int(quality)
-        self.cfg = os.environ.get("VTM_CFG_DIR")
-        if (
-            shutil.which("EncoderApp") is None
-            or shutil.which("DecoderApp") is None
-            or not self.cfg
-        ):
-            raise RuntimeError(
-                "VTM needs EncoderApp/DecoderApp in PATH and VTM_CFG_DIR set"
-            )
+        lo, hi = self.qp_range
+        if not lo <= self.qp <= hi:
+            raise ValueError(f"Invalid quality value: {self.qp} ({lo},{hi})")
+        self._check_available()
+
+    def _check_available(self):
+        raise NotImplementedError
+
+    def _encode_cmd(self, raw: Path, out: Path, w: int, h: int) -> list:
+        raise NotImplementedError
+
+    def _decode_cmd(self, out: Path, rec: Path) -> list:
+        raise NotImplementedError
 
     def run(self, img: np.ndarray) -> dict:
-        from ..ops.color import rgb2ycbcr, ycbcr2rgb
         import jax.numpy as jnp
+
+        from ..ops.color import rgb2ycbcr, ycbcr2rgb
 
         h, w = img.shape[:2]
         ycc = np.asarray(rgb2ycbcr(jnp.asarray(img)[None]))[0]
         yuv = np.clip(ycc * 255, 0, 255).round().astype(np.uint8)
         with tempfile.TemporaryDirectory() as td:
             raw = Path(td) / "in.yuv"
-            out = Path(td) / "out.bin"
+            out = Path(td) / f"out{self.ext}"
             rec = Path(td) / "rec.yuv"
             # 4:4:4 planar
-            raw.write_bytes(
-                b"".join(yuv[..., c].tobytes() for c in range(3))
-            )
+            raw.write_bytes(b"".join(yuv[..., c].tobytes() for c in range(3)))
             t0 = time.time()
             subprocess.run(
-                [
-                    "EncoderApp", "-c", f"{self.cfg}/encoder_intra_vtm.cfg",
-                    "-i", str(raw), "-o", "", "-b", str(out),
-                    "-wdt", str(w), "-hgt", str(h),
-                    "-fr", "1", "-f", "1", "-q", str(self.qp),
-                    "--InputChromaFormat=444", "--ConformanceWindowMode=1",
-                ],
+                [str(c) for c in self._encode_cmd(raw, out, w, h)],
                 check=True, capture_output=True,
             )
             enc_t = time.time() - t0
             t0 = time.time()
             subprocess.run(
-                ["DecoderApp", "-b", str(out), "-o", str(rec), "-d", "8"],
+                [str(c) for c in self._decode_cmd(out, rec)],
                 check=True, capture_output=True,
             )
             dec_t = time.time() - t0
@@ -198,12 +197,157 @@ class VTMCodec:
         }
 
 
+class VTMCodec(_YUV444BinaryCodec):
+    """VTM (VVC reference software): EncoderApp/DecoderApp, quality = QP
+    0..63 (reference codecs.py:361-480).  Gated on the binaries in PATH +
+    VTM_CFG_DIR pointing at the encoder config dir."""
+
+    qp_range = (0, 63)
+
+    def _check_available(self):
+        self.cfg = os.environ.get("VTM_CFG_DIR")
+        if (
+            shutil.which("EncoderApp") is None
+            or shutil.which("DecoderApp") is None
+            or not self.cfg
+        ):
+            raise RuntimeError(
+                "VTM needs EncoderApp/DecoderApp in PATH and VTM_CFG_DIR set"
+            )
+
+    def _encode_cmd(self, raw, out, w, h):
+        return [
+            "EncoderApp", "-c", f"{self.cfg}/encoder_intra_vtm.cfg",
+            "-i", raw, "-o", "", "-b", out,
+            "-wdt", w, "-hgt", h, "-fr", "1", "-f", "1", "-q", self.qp,
+            "--InputChromaFormat=444", "--ConformanceWindowMode=1",
+        ]
+
+    def _decode_cmd(self, out, rec):
+        return ["DecoderApp", "-b", out, "-o", rec, "-d", "8"]
+
+
+class HMCodec(_YUV444BinaryCodec):
+    """HM (H.265/HEVC reference software): TAppEncoder/TAppDecoder (or
+    the *Static builds), quality = QP 0..51 (reference codecs.py:488-610).
+    Gated on the binaries in PATH + HM_CFG pointing at the intra config."""
+
+    qp_range = (0, 51)
+
+    def _check_available(self):
+        self.enc = shutil.which("TAppEncoderStatic") or shutil.which("TAppEncoder")
+        self.dec = shutil.which("TAppDecoderStatic") or shutil.which("TAppDecoder")
+        self.cfg = os.environ.get("HM_CFG")
+        if not (self.enc and self.dec and self.cfg):
+            raise RuntimeError(
+                "HM needs TAppEncoder[Static]/TAppDecoder[Static] in PATH "
+                "and HM_CFG set to the encoder_intra config file"
+            )
+
+    def _encode_cmd(self, raw, out, w, h):
+        return [
+            self.enc, "-c", self.cfg,
+            "-i", raw, "-o", "/dev/null", "-b", out,
+            "-wdt", w, "-hgt", h, "-fr", "1", "-f", "1", "-q", self.qp,
+            "--InputChromaFormat=444", "--InputBitDepth=8",
+            "--SEIDecodedPictureHash", "--Level=5.1",
+            "--CUNoSplitIntraACT=0", "--ConformanceMode=1",
+        ]
+
+    def _decode_cmd(self, out, rec):
+        return [self.dec, "-b", out, "-o", rec, "-d", "8"]
+
+
+class AV1Codec(_YUV444BinaryCodec):
+    """AV1 (AOM reference software): aomenc/aomdec over raw i444, quality
+    = cq-level 0..63 in 2-pass q mode (reference codecs.py:613-717).
+    Gated on the binaries in PATH."""
+
+    ext = ".webm"
+    qp_range = (0, 63)
+
+    def _check_available(self):
+        if shutil.which("aomenc") is None or shutil.which("aomdec") is None:
+            raise RuntimeError("AV1 needs aomenc/aomdec in PATH")
+
+    def _encode_cmd(self, raw, out, w, h):
+        return [
+            "aomenc", "-w", w, "-h", h,
+            "--fps=1/1", "--limit=1", "--input-bit-depth=8",
+            "--cpu-used=0", "--threads=1", "--passes=2", "--end-usage=q",
+            f"--cq-level={self.qp}", "--i444", "--skip=0",
+            "--tune=psnr", "--psnr", "--bit-depth=8",
+            "-o", out, raw,
+        ]
+
+    def _decode_cmd(self, out, rec):
+        return ["aomdec", out, "-o", rec, "--rawvideo", "--output-bit-depth=8"]
+
+
+class TFCICodec:
+    """tensorflow/compression `tfci.py` script driver (reference
+    codecs.py:305-340): encode/decode PNGs via subprocess, quality 1..8,
+    model picked by TFCI_MODEL.  Gated on TFCI_SCRIPT pointing at tfci.py
+    (tensorflow is not in this image, so the script must bring its own
+    interpreter environment via TFCI_PYTHON if needed)."""
+
+    ext = ".tfci"
+    models = (
+        "bmshj2018-factorized-mse",
+        "bmshj2018-hyperprior-mse",
+        "mbt2018-mean-mse",
+    )
+
+    def __init__(self, quality: int):
+        self.quality = int(quality)
+        if not 1 <= self.quality <= 8:
+            raise ValueError(f"Invalid quality value: {self.quality} (1,8)")
+        self.script = os.environ.get("TFCI_SCRIPT")
+        if not self.script or not Path(self.script).is_file():
+            raise RuntimeError("TFCI needs TFCI_SCRIPT set to the tfci.py path")
+        self.python = os.environ.get("TFCI_PYTHON", sys.executable)
+        self.model = os.environ.get("TFCI_MODEL", self.models[0])
+
+    def run(self, img: np.ndarray) -> dict:
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        with tempfile.TemporaryDirectory() as td:
+            src = Path(td) / "in.png"
+            out = Path(td) / "out.tfci"
+            rec = Path(td) / "rec.png"
+            Image.fromarray((img * 255).round().astype(np.uint8)).save(src)
+            t0 = time.time()
+            subprocess.run(
+                [self.python, self.script, "compress",
+                 f"{self.model}-{self.quality:d}", str(src), str(out)],
+                check=True, capture_output=True,
+            )
+            enc_t = time.time() - t0
+            t0 = time.time()
+            subprocess.run(
+                [self.python, self.script, "decompress", str(out), str(rec)],
+                check=True, capture_output=True,
+            )
+            dec_t = time.time() - t0
+            arr = np.asarray(Image.open(rec).convert("RGB"), np.float32) / 255.0
+            nbytes = out.stat().st_size
+        p, m = _metrics(img, arr)
+        return {
+            "psnr": p, "ms-ssim": m, "bpp": nbytes * 8 / (h * w),
+            "encoding_time": enc_t, "decoding_time": dec_t,
+        }
+
+
 CODECS = {
     "jpeg": JPEGCodec,
     "webp": WebPCodec,
     "jpeg2000": JPEG2000Codec,
     "bpg": BPGCodec,
     "vtm": VTMCodec,
+    "hm": HMCodec,
+    "av1": AV1Codec,
+    "tfci": TFCICodec,
 }
 
 

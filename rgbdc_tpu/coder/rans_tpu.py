@@ -221,9 +221,9 @@ def _decode_row(carry: LaneState, words, idx_row, act, tbl):
         length = jnp.take(tbl.cdf_length, idx_row)
         maxv = length - 2
         s = _find_symbol(tbl, idx_row, cum, length)
-        base = idx_row * tbl.stride
-        start = jnp.take(tbl.cdf_flat, base + s)
-        freq = (jnp.take(tbl.cdf_flat, base + s + 1) - start).astype(jnp.uint32)
+        row_base = idx_row * tbl.stride  # NOT `base`: that's the buffer param
+        start = jnp.take(tbl.cdf_flat, row_base + s)
+        freq = (jnp.take(tbl.cdf_flat, row_base + s + 1) - start).astype(jnp.uint32)
         esc_flag = s == maxv
         offset = jnp.take(tbl.offset, idx_row)
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coder import RansDecoder, RansEncoder
+from ..coder.registry import entropy_coder_classes
 from ..entropy import get_scale_table
 from ..entropy.tables import CdfTable, build_bottleneck_tables, build_gaussian_tables
 
@@ -83,6 +83,22 @@ def eb_channel_indexes(shape) -> np.ndarray:
     return np.broadcast_to(np.arange(c, dtype=np.int32), (b, h, w, c))
 
 
+@jax.jit
+def _pack_groups(groups):
+    """Concatenate per-group (sym,[B,...] i16, idx u8) tensors into two
+    [B, total] wire buffers in coding order.
+
+    The tunnel pays ~17 ms per d2h transfer regardless of size, so pulling
+    the ~84 per-(slice,phase) tensors of a united encode costs ~1.4 s while
+    the same bytes in 4 packed buffers cross in ~0.3 s (docs/PERF.md)."""
+    b = groups[0][0].shape[0]
+    sym = jnp.concatenate([s.reshape(b, -1) for s, _ in groups], axis=1)
+    idx = jnp.concatenate(
+        [i.reshape(b, -1).astype(jnp.uint8) for _, i in groups], axis=1
+    )
+    return sym, idx
+
+
 class ElicCodec:
     """compress()/decompress() for ELIC-style single-latent checkerboard
     models (ELIC, Cheng2020+ckbd via shared method names)."""
@@ -90,6 +106,9 @@ class ElicCodec:
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model
         self.variables = variables
+        # backend classes resolved from the registry at construction, like
+        # the reference's _EntropyCoder proxy (entropy_models.py:20-57)
+        self.RansEncoder, self.RansDecoder = entropy_coder_classes()
         self.tables = tables if tables is not None else CodecTables.build(variables)
         st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
 
@@ -162,20 +181,21 @@ class ElicCodec:
             )
             sym_na = self._sym_na[i](v, y, mn_na)
             y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
-            groups.append(_start_host_copy((sym_a, idx_a)))
-            groups.append(_start_host_copy((sym_na, idx_na)))
+            groups.append((sym_a, idx_a))
+            groups.append((sym_na, idx_na))
 
-        z_sym, groups = jax.device_get((z_sym_dev, groups))
+        packed = _start_host_copy(_pack_groups(groups))
+        z_sym, (y_sym, y_idx) = jax.device_get((z_sym_dev, packed))
 
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
 
         def encode_one(n):
-            enc = RansEncoder()
-            for sym, idx in groups:
-                enc.buffer(sym[n], idx[n], self.tables.gc)
-            enc_z = RansEncoder()
+            # packed buffer == the y stream in exact coding order
+            enc = self.RansEncoder()
+            enc.buffer(y_sym[n], y_idx[n], self.tables.gc)
+            enc_z = self.RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
             return enc.flush(), enc_z.flush()
 
@@ -198,11 +218,11 @@ class ElicCodec:
 
         z_idx = eb_channel_indexes((b, zh, zw, c))
         z_sym = np.stack(
-            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+            _tmap(lambda n: self.RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(self.variables, jnp.asarray(z_sym))
 
-        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+        decoders = [self.RansDecoder(y_strings[n]) for n in range(b)]
 
         def pull(idx_dev):
             idx_np = np.asarray(idx_dev)
@@ -264,19 +284,21 @@ class MasterCodec(ElicCodec):
             )
             sym_na = self._sym_na[i](v, y, mn_na)
             y_hat_slices.append(self._merge(v, anchor_hat, sym_na, mn_na))
-            groups.append(_start_host_copy((sym_a, idx_a)))
-            groups.append(_start_host_copy((sym_na, idx_na)))
+            groups.append((sym_a, idx_a))
+            groups.append((sym_na, idx_na))
 
-        z_sym, groups, beta, gamma = jax.device_get((z_sym_dev, groups, beta, gamma))
+        packed = _start_host_copy(_pack_groups(groups))
+        z_sym, (y_sym, y_idx), beta, gamma = jax.device_get(
+            (z_sym_dev, packed, beta, gamma)
+        )
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
 
         def encode_one(n):
-            enc = RansEncoder()
-            for sym, idx in groups:
-                enc.buffer(sym[n], idx[n], self.tables.gc)
-            enc_z = RansEncoder()
+            enc = self.RansEncoder()
+            enc.buffer(y_sym[n], y_idx[n], self.tables.gc)
+            enc_z = self.RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
             return enc.flush(), enc_z.flush()
 
@@ -297,11 +319,11 @@ class MasterCodec(ElicCodec):
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
         z_sym = np.stack(
-            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+            _tmap(lambda n: self.RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(v, jnp.asarray(z_sym))
 
-        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+        decoders = [self.RansDecoder(y_strings[n]) for n in range(b)]
 
         def pull(idx_dev):
             idx_np = np.asarray(idx_dev)
@@ -383,19 +405,19 @@ class MlicCodec(ElicCodec):
             y_hat_slices.append(
                 self._merge_i[i](v, anchor_hat, sym_na, mn_na, prev, hyper)
             )
-            groups.append(_start_host_copy((sym_a, idx_a)))
-            groups.append(_start_host_copy((sym_na, idx_na)))
+            groups.append((sym_a, idx_a))
+            groups.append((sym_na, idx_na))
 
-        z_sym, groups = jax.device_get((z_sym_dev, groups))
+        packed = _start_host_copy(_pack_groups(groups))
+        z_sym, (y_sym, y_idx) = jax.device_get((z_sym_dev, packed))
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
 
         def encode_one(n):
-            enc = RansEncoder()
-            for sym, idx in groups:
-                enc.buffer(sym[n], idx[n], self.tables.gc)
-            enc_z = RansEncoder()
+            enc = self.RansEncoder()
+            enc.buffer(y_sym[n], y_idx[n], self.tables.gc)
+            enc_z = self.RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
             return enc.flush(), enc_z.flush()
 
@@ -414,11 +436,11 @@ class MlicCodec(ElicCodec):
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
         z_sym = np.stack(
-            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+            _tmap(lambda n: self.RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(v, jnp.asarray(z_sym))
 
-        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+        decoders = [self.RansDecoder(y_strings[n]) for n in range(b)]
 
         def pull(idx_dev):
             idx_np = np.asarray(idx_dev)
@@ -451,6 +473,7 @@ class ChannelARCodec:
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model
         self.variables = variables
+        self.RansEncoder, self.RansDecoder = entropy_coder_classes()
         self.tables = tables if tables is not None else CodecTables.build(variables)
         st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
         mt = type(model)
@@ -507,18 +530,18 @@ class ChannelARCodec:
             idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
             sym = self._sym[i](v, y, mu)
             y_hat_slices.append(self._recon[i](v, sym, mu, tuple(y_hat_slices), hyper))
-            groups.append(_start_host_copy((sym, idx_i)))
+            groups.append((sym, idx_i))
 
-        z_sym, groups = jax.device_get((z_sym_dev, groups))
+        packed = _start_host_copy(_pack_groups(groups))
+        z_sym, (y_sym, y_idx) = jax.device_get((z_sym_dev, packed))
         b = z_sym.shape[0]
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes(z_sym.shape)
 
         def encode_one(n):
-            enc = RansEncoder()
-            for sym, idx in groups:
-                enc.buffer(sym[n], idx[n], self.tables.gc)
-            enc_z = RansEncoder()
+            enc = self.RansEncoder()
+            enc.buffer(y_sym[n], y_idx[n], self.tables.gc)
+            enc_z = self.RansEncoder()
             enc_z.buffer(z_sym[n], z_idx[n], eb_table)
             return enc.flush(), enc_z.flush()
 
@@ -537,11 +560,11 @@ class ChannelARCodec:
         eb_table = self.tables.eb["entropy_bottleneck"]
         z_idx = eb_channel_indexes((b, zh, zw, self.model.N))
         z_sym = np.stack(
-            _tmap(lambda n: RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
+            _tmap(lambda n: self.RansDecoder(z_strings[n]).decode(z_idx[n], eb_table), b)
         )
         hyper = self._hyper(v, jnp.asarray(z_sym))
 
-        decoders = [RansDecoder(y_strings[n]) for n in range(b)]
+        decoders = [self.RansDecoder(y_strings[n]) for n in range(b)]
         y_hat_slices: list = []
         for i in range(len(self.model.slice_ch)):
             idx_i, mu = self._params[i](v, tuple(y_hat_slices), hyper)
@@ -566,6 +589,7 @@ class UnitedCodec:
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model
         self.variables = variables
+        self.RansEncoder, self.RansDecoder = entropy_coder_classes()
         self.tables = (
             tables
             if tables is not None
@@ -654,37 +678,42 @@ class UnitedCodec:
             d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
             r_prev.append(r_hat_slice)
             d_prev.append(d_hat_slice)
-            r_groups += [
-                _start_host_copy((r_sym_a, idx1)),
-                _start_host_copy((r_sym_na, idx3)),
-            ]
-            d_groups += [
-                _start_host_copy((d_sym_a, idx2)),
-                _start_host_copy((d_sym_na, idx4)),
-            ]
-        return rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev
+            r_groups += [(r_sym_a, idx1), (r_sym_na, idx3)]
+            d_groups += [(d_sym_a, idx2), (d_sym_na, idx4)]
+        # pack each modality's 2*n_slices groups into two [B, total] wire
+        # buffers on DEVICE and pull those: 4 transfers instead of ~84
+        r_lens = [int(np.prod(sym.shape[1:])) for sym, _ in r_groups]
+        d_lens = [int(np.prod(sym.shape[1:])) for sym, _ in d_groups]
+        r_packed = _start_host_copy(_pack_groups(r_groups))
+        d_packed = _start_host_copy(_pack_groups(d_groups))
+        _start_host_copy((rz_sym, dz_sym))
+        return (
+            rz_sym, dz_sym,
+            (r_packed, r_lens), (d_packed, d_lens),
+            r_prev, d_prev,
+        )
 
     def compress(self, rgb, depth) -> dict:
-        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = (
+        rz_sym, dz_sym, (r_packed, _), (d_packed, _), r_prev, d_prev = (
             self._encode_stage_flow(rgb, depth)
         )
-        rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
-            (rz_sym, dz_sym, r_groups, d_groups)
+        rz_sym, dz_sym, (r_sym, r_idx), (d_sym, d_idx) = jax.device_get(
+            (rz_sym, dz_sym, r_packed, d_packed)
         )
 
         b = rz_sym.shape[0]
         z_idx = eb_channel_indexes(rz_sym.shape)
 
         def encode_one(n):
-            enc_ry = RansEncoder()
-            for sym, idx in r_groups:
-                enc_ry.buffer(sym[n], idx[n], self.tables.gc)
-            enc_rz = RansEncoder()
+            # the packed buffer is the y stream in exact coding order: one
+            # buffer call == the old per-group loop (buffer() concatenates)
+            enc_ry = self.RansEncoder()
+            enc_ry.buffer(r_sym[n], r_idx[n], self.tables.gc)
+            enc_rz = self.RansEncoder()
             enc_rz.buffer(rz_sym[n], z_idx[n], self.tables.eb["rgb_entropy_bottleneck"])
-            enc_dy = RansEncoder()
-            for sym, idx in d_groups:
-                enc_dy.buffer(sym[n], idx[n], self.tables.gc)
-            enc_dz = RansEncoder()
+            enc_dy = self.RansEncoder()
+            enc_dy.buffer(d_sym[n], d_idx[n], self.tables.gc)
+            enc_dz = self.RansEncoder()
             enc_dz.buffer(
                 dz_sym[n], z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
             )
@@ -711,13 +740,13 @@ class UnitedCodec:
         c = self.model.N
         z_idx = eb_channel_indexes((b, zh, zw, c))
         rz_sym = np.stack(_tmap(
-            lambda n: RansDecoder(r_strings[n][1]).decode(
+            lambda n: self.RansDecoder(r_strings[n][1]).decode(
                 z_idx[n], self.tables.eb["rgb_entropy_bottleneck"]
             ),
             b,
         ))
         dz_sym = np.stack(_tmap(
-            lambda n: RansDecoder(d_strings[n][1]).decode(
+            lambda n: self.RansDecoder(d_strings[n][1]).decode(
                 z_idx[n], self.tables.eb["depth_entropy_bottleneck"]
             ),
             b,
@@ -726,8 +755,8 @@ class UnitedCodec:
             v, jnp.asarray(rz_sym), jnp.asarray(dz_sym)
         )
 
-        r_dec = [RansDecoder(r_strings[n][0]) for n in range(b)]
-        d_dec = [RansDecoder(d_strings[n][0]) for n in range(b)]
+        r_dec = [self.RansDecoder(r_strings[n][0]) for n in range(b)]
+        d_dec = [self.RansDecoder(d_strings[n][0]) for n in range(b)]
 
         def _pull(decs, idx_dev):
             idx_np = np.asarray(idx_dev)
@@ -852,35 +881,32 @@ class UnitedCodec:
         per image; on-device-decodable).  Stage computations are the shared
         per-stage programs — identical to what decompress_lanes replays."""
         self._lane_setup()
-        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = (
+        rz_sym, dz_sym, (r_packed, r_lens), (d_packed, d_lens), r_prev, d_prev = (
             self._encode_stage_flow(rgb, depth)
         )
         r_y_hat = jnp.concatenate(r_prev, axis=-1)
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
-        rz_sym, dz_sym, r_groups, d_groups = jax.device_get(
-            (rz_sym, dz_sym, r_groups, d_groups)
+        rz_sym, dz_sym, (r_sym, r_idx), (d_sym, d_idx) = jax.device_get(
+            (rz_sym, dz_sym, r_packed, d_packed)
         )
         b = rz_sym.shape[0]
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
 
-        def build_stream(n_img, z_sym, groups, table):
-            syms = [np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)]
-            idxs = [z_idx[n_img].reshape(-1)]
-            lens = [syms[0].size]
-            for sym, idx in groups:
-                syms.append(np.asarray(sym[n_img], np.int16).reshape(-1))
-                idxs.append(np.asarray(idx[n_img], np.uint8).reshape(-1))
-                lens.append(syms[-1].size)
+        def build_stream(n_img, z_sym, y_sym, y_idx, lens, table):
+            z = np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)
             return self._lanes_encode(
-                np.concatenate(syms), np.concatenate(idxs), lens, table,
+                np.concatenate([z, y_sym[n_img]]),
+                np.concatenate([z_idx[n_img].reshape(-1), y_idx[n_img]]),
+                [z.size] + list(lens),
+                table,
                 lanes=self.LANES,
             )
 
         r_streams = _tmap(
-            lambda i: build_stream(i, rz_sym, r_groups, self._comb_r), b
+            lambda i: build_stream(i, rz_sym, r_sym, r_idx, r_lens, self._comb_r), b
         )
         d_streams = _tmap(
-            lambda i: build_stream(i, dz_sym, d_groups, self._comb_d), b
+            lambda i: build_stream(i, dz_sym, d_sym, d_idx, d_lens, self._comb_d), b
         )
         return {
             "r_streams": r_streams,

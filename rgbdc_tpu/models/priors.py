@@ -280,7 +280,7 @@ class HyperpriorCodec:
     the whole latent is one coding group (no spatial/channel AR)."""
 
     def __init__(self, model, variables, tables=None):
-        from .codec import CodecTables, RansDecoder, RansEncoder, eb_channel_indexes
+        from .codec import CodecTables
 
         self.model = model
         self.variables = variables
@@ -297,7 +297,10 @@ class HyperpriorCodec:
         self._synth = jax.jit(lambda v, y: model.apply(v, y, method=mt.synthesize))
 
     def compress(self, x) -> dict:
-        from .codec import RansEncoder, _tmap, eb_channel_indexes
+        from ..coder.registry import entropy_coder_classes
+        from .codec import _tmap, eb_channel_indexes
+
+        RansEncoder, _ = entropy_coder_classes()
 
         v = self.variables
         y, z_sym_dev = self._encode_front(v, x)
@@ -323,7 +326,10 @@ class HyperpriorCodec:
         }
 
     def decompress(self, strings, shape) -> dict:
-        from .codec import RansDecoder, _tmap, eb_channel_indexes
+        from ..coder.registry import entropy_coder_classes
+        from .codec import _tmap, eb_channel_indexes
+
+        _, RansDecoder = entropy_coder_classes()
 
         v = self.variables
         y_strings, z_strings = strings
@@ -410,7 +416,10 @@ class JointARCodec:
         return idx, means.astype(np.float32)
 
     def compress(self, x) -> dict:
-        from .codec import RansEncoder, eb_channel_indexes
+        from ..coder.registry import entropy_coder_classes
+        from .codec import eb_channel_indexes
+
+        RansEncoder, _ = entropy_coder_classes()
 
         v = self.variables
         y, z_sym_dev = self._front(v, x)
@@ -448,7 +457,10 @@ class JointARCodec:
         }
 
     def decompress(self, strings, shape) -> dict:
-        from .codec import RansDecoder, eb_channel_indexes
+        from ..coder.registry import entropy_coder_classes
+        from .codec import eb_channel_indexes
+
+        _, RansDecoder = entropy_coder_classes()
 
         v = self.variables
         y_strings, z_strings = strings

@@ -90,3 +90,60 @@ class TestBitstreamContainer:
             out, shape = read_body(f)
         assert shape == (30, 40)
         assert out == strings
+
+
+class TestCoderRegistry:
+    """Backend-selection surface (reference compressai/__init__.py:22-62)."""
+
+    def test_rans_always_available_and_default(self):
+        from rgbdc_tpu.coder import (
+            available_entropy_coders,
+            entropy_coder_classes,
+            get_entropy_coder,
+        )
+        from rgbdc_tpu.coder.rans import RansDecoder, RansEncoder
+
+        assert "rans" in available_entropy_coders()
+        assert get_entropy_coder() == "rans"
+        enc_cls, dec_cls = entropy_coder_classes()
+        assert enc_cls is RansEncoder and dec_cls is RansDecoder
+
+    def test_set_unknown_coder_raises(self):
+        from rgbdc_tpu.coder import set_entropy_coder
+
+        with pytest.raises(ValueError, match="Invalid entropy coder"):
+            set_entropy_coder("nope")
+
+    def test_register_and_select_custom_backend(self):
+        from rgbdc_tpu.coder import (
+            available_entropy_coders,
+            entropy_coder_classes,
+            register_entropy_coder,
+            set_entropy_coder,
+        )
+
+        class FakeEnc:
+            pass
+
+        class FakeDec:
+            pass
+
+        register_entropy_coder("fake", lambda: (FakeEnc, FakeDec))
+        assert "fake" in available_entropy_coders()
+        set_entropy_coder("fake")
+        try:
+            assert entropy_coder_classes() == (FakeEnc, FakeDec)
+        finally:
+            set_entropy_coder("rans")
+
+    def test_codec_drivers_resolve_from_registry(self):
+        # the driver constructors snapshot the registry default
+        from rgbdc_tpu.coder.rans import RansDecoder, RansEncoder
+        from rgbdc_tpu.models.codec import ElicCodec
+
+        assert "RansEncoder" not in ElicCodec.__dict__  # instance attr, not class
+        # smoke: attribute wiring is exercised by every roundtrip test; here
+        # just confirm the names resolve via the registry import path
+        from rgbdc_tpu.models.codec import entropy_coder_classes
+
+        assert entropy_coder_classes() == (RansEncoder, RansDecoder)

@@ -42,6 +42,64 @@ class TestBenchClassical:
         res = main(["webp", "-d", str(image_root), "-q", "50"])
         assert res["results"]["psnr"][0] > 10  # noise images compress poorly
 
+    def test_registry_covers_reference_codecs(self):
+        # reference bench drives 8 codec families (codecs.py:93-717)
+        from rgbdc_tpu.cli.bench_classical import CODECS
+
+        assert set(CODECS) == {
+            "jpeg", "webp", "jpeg2000", "bpg", "vtm", "hm", "av1", "tfci"
+        }
+
+    def test_binary_codecs_gate_gracefully(self, monkeypatch):
+        """Absent binaries/config must raise RuntimeError (never crash the
+        process with FileNotFoundError mid-run)."""
+        import shutil as _sh
+
+        from rgbdc_tpu.cli.bench_classical import (
+            AV1Codec, HMCodec, TFCICodec, VTMCodec,
+        )
+
+        monkeypatch.setattr(_sh, "which", lambda name: None)
+        monkeypatch.delenv("VTM_CFG_DIR", raising=False)
+        monkeypatch.delenv("HM_CFG", raising=False)
+        monkeypatch.delenv("TFCI_SCRIPT", raising=False)
+        for cls in (VTMCodec, HMCodec, AV1Codec, TFCICodec):
+            with pytest.raises(RuntimeError):
+                cls(5)
+
+    def test_quality_ranges_enforced(self, monkeypatch):
+        import shutil as _sh
+
+        from rgbdc_tpu.cli.bench_classical import AV1Codec, HMCodec, TFCICodec
+
+        monkeypatch.setattr(_sh, "which", lambda name: f"/usr/bin/{name}")
+        with pytest.raises(ValueError):
+            HMCodec(52)  # HM QP range is 0..51
+        with pytest.raises(ValueError):
+            AV1Codec(64)  # AV1 cq-level range is 0..63
+        with pytest.raises(ValueError):
+            TFCICodec(0)  # TFCI quality range is 1..8
+
+    def test_yuv_command_lines(self, monkeypatch, tmp_path):
+        """Encode/decode command construction matches the reference flags."""
+        import shutil as _sh
+
+        from rgbdc_tpu.cli.bench_classical import AV1Codec, HMCodec
+
+        monkeypatch.setattr(_sh, "which", lambda name: f"/usr/bin/{name}")
+        monkeypatch.setenv("HM_CFG", "/cfg/encoder_intra_main_rext.cfg")
+        hm = HMCodec(32)
+        cmd = [str(c) for c in hm._encode_cmd("in.yuv", "out.bin", 64, 48)]
+        assert "--SEIDecodedPictureHash" in cmd and "--Level=5.1" in cmd
+        assert cmd[cmd.index("-q") + 1] == "32"
+        assert cmd[cmd.index("-wdt") + 1] == "64"
+
+        av1 = AV1Codec(40)
+        cmd = [str(c) for c in av1._encode_cmd("in.yuv", "out.webm", 64, 48)]
+        assert "--cq-level=40" in cmd and "--i444" in cmd and "--passes=2" in cmd
+        dcmd = [str(c) for c in av1._decode_cmd("out.webm", "rec.yuv")]
+        assert "--rawvideo" in dcmd
+
 
 class TestPlot:
     def test_plot_writes_png(self, image_root, tmp_path):
