@@ -521,6 +521,17 @@ inline int build_subs32(int32_t symbol, const int32_t *cdf, int32_t max_value,
 
 // Encode n symbols (sum of group_lens) into the lane-split format.
 // Returns bytes written or -needed if capacity is too small.
+//
+// v2: escape bypass chunks live in a separate per-lane FIFO NIBBLE stream
+// instead of being rans-bypass-coded into the main word stream.  The main
+// stream therefore consumes AT MOST ONE word per symbol — the property the
+// TPU decoder's fixed-cadence word prefetch relies on (coder/rans_tpu.py).
+// Bypass chunks are raw 4-bit values either way, so the coded size is
+// unchanged up to per-lane padding (<=3 nibbles) + the 4 B/lane count.
+//
+// Container: [L x u32 states][L x u32 word counts][L x u32 nibble counts]
+//            [u16 words, lane-major]
+//            [u16 nibble words, lane-major; 4 nibbles/u16, LS nibble first]
 int64_t rans32_lanes_encode(const int16_t *symbols, const uint8_t *indexes,
                             const int64_t *group_lens, int32_t n_groups,
                             int32_t lanes, const int32_t *cdfs,
@@ -540,48 +551,89 @@ int64_t rans32_lanes_encode(const int16_t *symbols, const uint8_t *indexes,
     base += group_lens[g];
   }
 
-  // 2. encode each lane LIFO into its own backward-growing word buffer
+  // 2. encode each lane: forward pass collects escape nibbles (decode
+  //    order, FIFO); reverse pass rANS-codes only the CDF symbols (LIFO)
   std::vector<std::vector<uint16_t>> lane_words(lanes);
+  std::vector<std::vector<uint16_t>> lane_nibs(lanes);
   std::vector<uint32_t> states(lanes, kRans32L);
-  std::vector<uint32_t> counts(lanes);
-  Sym32 subs[24];
+  std::vector<uint32_t> wcounts(lanes), ncounts(lanes);
   for (int32_t l = 0; l < lanes; ++l) {
     const auto &seq = lane_syms[l];
-    // <=12 sub-symbols/symbol (1 cdf + count chain + raw chunks), <=1 word each
-    std::vector<uint16_t> buf(12 * seq.size() + 16);
+    std::vector<uint8_t> nibs;
+    for (size_t k = 0; k < seq.size(); ++k) {
+      const int64_t i = seq[k];
+      const int32_t cdf_idx = indexes[i];
+      const int32_t max_value = cdf_lengths[cdf_idx] - 2;
+      int32_t value = static_cast<int32_t>(symbols[i]) - offsets[cdf_idx];
+      uint64_t raw_val = 0;
+      bool esc = false;
+      if (value < 0) {
+        raw_val = 2ull * static_cast<uint64_t>(-static_cast<int64_t>(value)) - 1;
+        esc = true;
+      } else if (value >= max_value) {
+        raw_val = 2ull * static_cast<uint64_t>(value - max_value);
+        esc = true;
+      }
+      if (esc) {
+        int32_t n_bypass = 0;
+        while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+        int32_t val = n_bypass;
+        while (val >= static_cast<int32_t>(kMaxBypassVal)) {
+          nibs.push_back(static_cast<uint8_t>(kMaxBypassVal));
+          val -= kMaxBypassVal;
+        }
+        nibs.push_back(static_cast<uint8_t>(val));
+        for (int32_t j = 0; j < n_bypass; ++j) {
+          nibs.push_back(static_cast<uint8_t>(
+              (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal));
+        }
+      }
+    }
+    // pack nibbles, 4 per u16, least-significant first
+    std::vector<uint16_t> nwords((nibs.size() + 3) / 4, 0);
+    for (size_t j = 0; j < nibs.size(); ++j)
+      nwords[j >> 2] |= static_cast<uint16_t>(nibs[j]) << (4 * (j & 3));
+
+    std::vector<uint16_t> buf(seq.size() + 16);
     uint16_t *ptr = buf.data() + buf.size();
     uint32_t x = kRans32L;
     for (size_t k = seq.size(); k-- > 0;) {
       const int64_t i = seq[k];
       const int32_t cdf_idx = indexes[i];
       const int32_t *cdf = cdfs + static_cast<int64_t>(cdf_idx) * cdf_stride;
-      const int ns = build_subs32(symbols[i], cdf, cdf_lengths[cdf_idx] - 2,
-                                  offsets[cdf_idx], subs);
-      for (int k2 = ns - 1; k2 >= 0; --k2) {
-        if (subs[k2].bypass) {
-          enc32_put_bits(x, ptr, subs[k2].start, kBypassPrecision);
-        } else {
-          enc32_put(x, ptr, subs[k2].start, subs[k2].range);
-        }
-      }
+      const int32_t max_value = cdf_lengths[cdf_idx] - 2;
+      int32_t value = static_cast<int32_t>(symbols[i]) - offsets[cdf_idx];
+      if (value < 0 || value >= max_value) value = max_value;
+      enc32_put(x, ptr, static_cast<uint32_t>(cdf[value]),
+                static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
     }
     states[l] = x;
-    const int64_t nwords = buf.data() + buf.size() - ptr;
-    counts[l] = static_cast<uint32_t>(nwords);
-    lane_words[l].assign(ptr, ptr + nwords);
+    const int64_t nwords_l = buf.data() + buf.size() - ptr;
+    wcounts[l] = static_cast<uint32_t>(nwords_l);
+    ncounts[l] = static_cast<uint32_t>(nibs.size());
+    lane_words[l].assign(ptr, ptr + nwords_l);
+    lane_nibs[l] = std::move(nwords);
   }
 
   // 3. serialize
-  int64_t nwords_total = 0;
-  for (int32_t l = 0; l < lanes; ++l) nwords_total += counts[l];
-  const int64_t nbytes = 8LL * lanes + 2 * nwords_total;
+  int64_t nwords_total = 0, nnibw_total = 0;
+  for (int32_t l = 0; l < lanes; ++l) {
+    nwords_total += wcounts[l];
+    nnibw_total += static_cast<int64_t>(lane_nibs[l].size());
+  }
+  const int64_t nbytes = 12LL * lanes + 2 * (nwords_total + nnibw_total);
   if (nbytes > capacity) return -nbytes;
   std::memcpy(out, states.data(), 4LL * lanes);
-  std::memcpy(out + 4LL * lanes, counts.data(), 4LL * lanes);
-  uint8_t *wp = out + 8LL * lanes;
+  std::memcpy(out + 4LL * lanes, wcounts.data(), 4LL * lanes);
+  std::memcpy(out + 8LL * lanes, ncounts.data(), 4LL * lanes);
+  uint8_t *wp = out + 12LL * lanes;
   for (int32_t l = 0; l < lanes; ++l) {
-    std::memcpy(wp, lane_words[l].data(), 2LL * counts[l]);
-    wp += 2LL * counts[l];
+    std::memcpy(wp, lane_words[l].data(), 2LL * wcounts[l]);
+    wp += 2LL * wcounts[l];
+  }
+  for (int32_t l = 0; l < lanes; ++l) {
+    std::memcpy(wp, lane_nibs[l].data(), 2LL * lane_nibs[l].size());
+    wp += 2LL * lane_nibs[l].size();
   }
   return nbytes;
 }
@@ -597,12 +649,11 @@ inline void dec32_advance_b(uint32_t &x, const uint16_t *&ptr,
   if (x < kRans32L) x = (x << 16) | (ptr < end ? *ptr++ : 0);
 }
 
-inline uint32_t dec32_get_bits_b(uint32_t &x, const uint16_t *&ptr,
-                                 const uint16_t *end, uint32_t nbits) {
-  const uint32_t val = x & ((1u << nbits) - 1);
-  x >>= nbits;
-  if (x < kRans32L) x = (x << 16) | (ptr < end ? *ptr++ : 0);
-  return val;
+inline uint32_t get_nibble_b(const uint16_t *nw, int64_t n_nibs, int64_t &cursor) {
+  if (cursor >= n_nibs) { ++cursor; return 0; }
+  const uint32_t v = (nw[cursor >> 2] >> (4 * (cursor & 3))) & 0xF;
+  ++cursor;
+  return v;
 }
 
 }  // namespace
@@ -615,19 +666,28 @@ int32_t rans32_lanes_decode(const uint8_t *data, int64_t nbytes,
                             const int32_t *cdfs, int32_t cdf_stride,
                             const int32_t *cdf_lengths, const int32_t *offsets,
                             int16_t *out) {
-  if (lanes <= 0 || nbytes < 8LL * lanes) return -1;
-  std::vector<uint32_t> states(lanes), counts(lanes);
+  if (lanes <= 0 || nbytes < 12LL * lanes) return -1;
+  std::vector<uint32_t> states(lanes), wcounts(lanes), ncounts(lanes);
   std::memcpy(states.data(), data, 4LL * lanes);
-  std::memcpy(counts.data(), data + 4LL * lanes, 4LL * lanes);
-  int64_t nwords_total = 0;
-  for (int32_t l = 0; l < lanes; ++l) nwords_total += counts[l];
-  if (8LL * lanes + 2 * nwords_total > nbytes) return -2;
-  std::vector<const uint16_t *> ptrs(lanes), ends(lanes);
-  const uint16_t *wp = reinterpret_cast<const uint16_t *>(data + 8LL * lanes);
+  std::memcpy(wcounts.data(), data + 4LL * lanes, 4LL * lanes);
+  std::memcpy(ncounts.data(), data + 8LL * lanes, 4LL * lanes);
+  int64_t nwords_total = 0, nnibw_total = 0;
+  for (int32_t l = 0; l < lanes; ++l) {
+    nwords_total += wcounts[l];
+    nnibw_total += (ncounts[l] + 3) / 4;
+  }
+  if (12LL * lanes + 2 * (nwords_total + nnibw_total) > nbytes) return -2;
+  std::vector<const uint16_t *> ptrs(lanes), ends(lanes), nptrs(lanes);
+  std::vector<int64_t> ncursor(lanes, 0);
+  const uint16_t *wp = reinterpret_cast<const uint16_t *>(data + 12LL * lanes);
   for (int32_t l = 0; l < lanes; ++l) {
     ptrs[l] = wp;
-    wp += counts[l];
+    wp += wcounts[l];
     ends[l] = wp;
+  }
+  for (int32_t l = 0; l < lanes; ++l) {
+    nptrs[l] = wp;
+    wp += (ncounts[l] + 3) / 4;
   }
 
   int64_t base = 0;
@@ -646,16 +706,16 @@ int32_t rans32_lanes_decode(const uint8_t *data, int64_t nbytes,
 
       int32_t value = s;
       if (value == max_value) {
-        uint32_t val = dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision);
+        uint32_t val = get_nibble_b(nptrs[l], ncounts[l], ncursor[l]);
         int32_t n_bypass = val;
         while (val == kMaxBypassVal) {
-          val = dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision);
+          val = get_nibble_b(nptrs[l], ncounts[l], ncursor[l]);
           n_bypass += val;
         }
         uint64_t raw_val = 0;
         for (int32_t j2 = 0; j2 < n_bypass && j2 < 16; ++j2) {
           raw_val |= static_cast<uint64_t>(
-                         dec32_get_bits_b(states[l], ptrs[l], ends[l], kBypassPrecision))
+                         get_nibble_b(nptrs[l], ncounts[l], ncursor[l]))
                      << (j2 * kBypassPrecision);
         }
         value = static_cast<int32_t>(raw_val >> 1);

@@ -366,18 +366,27 @@ def lanes_decode(
 
 
 def lanes_split(data: bytes, lanes: int = 128):
-    """Split a lane-split container into (states u32[lanes], words
-    u16[lanes, W]) with zero-padded rows — the arrays the JAX decoder
-    uploads to the device."""
+    """Split a v2 lane-split container into (states u32[lanes], words
+    u16[lanes, W], nibble_words u16[lanes, B]) with zero-padded rows — the
+    arrays the JAX decoder uploads to the device.  Nibble words pack the
+    escape-bypass chunks, 4 per u16, least-significant first."""
     buf = np.frombuffer(data, dtype=np.uint8)
     states = buf[: 4 * lanes].view(np.uint32).copy()
-    counts = buf[4 * lanes : 8 * lanes].view(np.uint32).copy()
-    words_flat = buf[8 * lanes :].view(np.uint16)
-    w = int(counts.max()) if lanes else 0
+    wcounts = buf[4 * lanes : 8 * lanes].view(np.uint32).copy()
+    ncounts = buf[8 * lanes : 12 * lanes].view(np.uint32).copy()
+    nwcounts = (ncounts + 3) // 4
+    rest = buf[12 * lanes :].view(np.uint16)
+    w = max(int(wcounts.max()) if lanes else 0, 1)
+    bw = max(int(nwcounts.max()) if lanes else 0, 1)
     words = np.zeros((lanes, w), dtype=np.uint16)
+    nwords = np.zeros((lanes, bw), dtype=np.uint16)
     pos = 0
     for l in range(lanes):
-        c = int(counts[l])
-        words[l, :c] = words_flat[pos : pos + c]
+        c = int(wcounts[l])
+        words[l, :c] = rest[pos : pos + c]
         pos += c
-    return states, words
+    for l in range(lanes):
+        c = int(nwcounts[l])
+        nwords[l, :c] = rest[pos : pos + c]
+        pos += c
+    return states, words, nwords

@@ -125,17 +125,21 @@ def combine_tables(*tables: CdfTable) -> CdfTable:
 
 
 class LaneState(NamedTuple):
-    """Per-stream decode carry: [..., lanes] uint32 states and int32 word
-    positions into a [..., lanes, W] uint16 word matrix."""
+    """Per-stream decode carry: [..., lanes] uint32 states, int32 word
+    positions into a [..., lanes, W] uint16 word matrix, and int32 nibble
+    cursors into a [..., lanes, B] packed bypass-nibble matrix (v2 wire
+    format: 4 nibbles per u16, least-significant first)."""
 
     state: jnp.ndarray
     pos: jnp.ndarray
+    nib: jnp.ndarray
 
 
 def init_lane_state(states: jnp.ndarray) -> LaneState:
     return LaneState(
         state=states.astype(jnp.uint32),
         pos=jnp.zeros(states.shape, jnp.int32),
+        nib=jnp.zeros(states.shape, jnp.int32),
     )
 
 
@@ -154,15 +158,16 @@ def _renorm(state, pos, words, mask):
     return state, pos
 
 
-def _get_bits4(state, pos, words, mask):
-    """dec32_get_bits(x, 4) on masked lanes; returns (val i32, state, pos)."""
-    val = (state & jnp.uint32(0xF)).astype(jnp.int32)
-    shifted = state >> 4
-    shifted, npos = _renorm(shifted, pos, words, mask)
-    state = jnp.where(mask, shifted, state)
-    pos = jnp.where(mask, npos, pos)
+def _get_nibble(byp, nib, mask):
+    """Pop one 4-bit bypass chunk per masked lane from the packed nibble
+    matrix (v2 format); returns (val i32, nib)."""
+    w = jnp.take_along_axis(
+        byp, jnp.clip(nib >> 2, 0, byp.shape[-1] - 1)[..., None], axis=-1
+    )[..., 0].astype(jnp.int32)
+    val = (w >> (4 * (nib & 3))) & 0xF
     val = jnp.where(mask, val, 0)
-    return val, state, pos
+    nib = nib + mask.astype(jnp.int32)
+    return val, nib
 
 
 def _find_symbol(tbl: DeviceCdfTable, idx, cum, length):
@@ -191,12 +196,12 @@ def _sext(x, bits):
     return (x ^ m) - m
 
 
-def _decode_row(carry: LaneState, words, idx_row, act, tbl):
+def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl):
     """Decode one lockstep row: every active lane pops one symbol.
 
     tbl is either a DeviceCdfTable (binary-search mode) or a packed
     [n*65536, 2] uint32 LUT array (one-descriptor mode, see build_lut)."""
-    state, pos = carry.state, carry.pos
+    state, pos, nib = carry.state, carry.pos, carry.nib
     idx_row = jnp.where(act, idx_row, 0)  # keep gathers in-bounds
     cum = (state & MASK16).astype(jnp.int32)
 
@@ -232,38 +237,38 @@ def _decode_row(carry: LaneState, words, idx_row, act, tbl):
     state = jnp.where(act, adv, state)
     pos = jnp.where(act, npos, pos)
 
-    # --- escape path (rare): count chain, then LSB-first 4-bit chunks -------
+    # --- escape path (rare): count nibble, then LSB-first 4-bit chunks ------
+    # v2 wire format: bypass chunks come from the per-lane nibble stream,
+    # NOT the main word stream (so main renorm stays <=1 word/symbol).
+    # ONE while_loop runs a per-lane state machine (count nibble first,
+    # then chunks): a single cross-lane any() per escape-free row.  int16
+    # wire symbols bound raw_val < 2^18, so the count chain is always a
+    # single nibble (a chain needs n_bypass >= 15) and iterations <= 7.
+    # Do NOT replace the while_loop with lax.cond: XLA select-converts the
+    # cond and runs the nibble gathers on EVERY row (measured 2x slower).
     esc = act & esc_flag
-    n_byp = jnp.zeros_like(s)
+    neg1 = jnp.full(s.shape, -1, jnp.int32)
 
-    def a_cond(c):
-        return jnp.any(c[3])
+    def e_cond(c):
+        return jnp.any(c[4])
 
-    def a_body(c):
-        state, pos, n_byp, live = c
-        val, state, pos = _get_bits4(state, pos, words, live)
-        n_byp = n_byp + jnp.where(live, val, 0)
-        live = live & (val == 15)
-        return state, pos, n_byp, live
+    def e_body(c):
+        nib, raw, n_byp, j, live = c
+        val, nib = _get_nibble(byp, nib, live)
+        first = n_byp < 0
+        chunk = live & ~first
+        raw = raw | jnp.where(
+            chunk, val.astype(jnp.uint32) << (4 * jnp.maximum(j, 0)).astype(jnp.uint32), 0
+        )
+        j = jnp.where(chunk, j + 1, j)
+        n_byp = jnp.where(live & first, val, n_byp)
+        live = live & (j < n_byp)
+        return nib, raw, n_byp, j, live
 
-    state, pos, n_byp, _ = jax.lax.while_loop(
-        a_cond, a_body, (state, pos, n_byp, esc)
+    nib, raw, _, _, _ = jax.lax.while_loop(
+        e_cond, e_body,
+        (nib, jnp.zeros(s.shape, jnp.uint32), neg1, jnp.zeros(s.shape, jnp.int32), esc),
     )
-
-    raw = jnp.zeros(s.shape, jnp.uint32)
-    j0 = jnp.zeros((), jnp.int32)
-
-    def b_cond(c):
-        return jnp.any(esc & (c[3] < n_byp))
-
-    def b_body(c):
-        state, pos, raw, j = c
-        m = esc & (j < n_byp)
-        val, state, pos = _get_bits4(state, pos, words, m)
-        raw = raw | jnp.where(m, val.astype(jnp.uint32) << (4 * j).astype(jnp.uint32), 0)
-        return state, pos, raw, j + 1
-
-    state, pos, raw, _ = jax.lax.while_loop(b_cond, b_body, (state, pos, raw, j0))
 
     v = (raw >> 1).astype(jnp.int32)
     if lut_mode:
@@ -273,12 +278,13 @@ def _decode_row(carry: LaneState, words, idx_row, act, tbl):
         esc_value = jnp.where((raw & 1).astype(bool), -v - 1, v + maxv)
         value = jnp.where(esc, esc_value, s) + offset
     sym = jnp.where(act, value, 0)
-    return LaneState(state, pos), sym
+    return LaneState(state, pos, nib), sym
 
 
 def decode_group(
     carry: LaneState,
     words: jnp.ndarray,
+    byp: jnp.ndarray,
     indexes: jnp.ndarray,
     tbl: DeviceCdfTable,
     lanes: int = DEFAULT_LANES,
@@ -307,7 +313,7 @@ def decode_group(
 
     def step(c, xs):
         idx_row, act = xs
-        return _decode_row(c, words, idx_row, act, tbl)
+        return _decode_row(c, words, byp, idx_row, act, tbl)
 
     carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows))
     inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)

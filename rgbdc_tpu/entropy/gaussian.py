@@ -14,6 +14,8 @@ searchsorted instead of a python loop over the table.
 
 import math
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,13 +80,23 @@ def gaussian_forward(
 
 
 def build_indexes(
-    scales: jax.Array, scale_table: np.ndarray, scale_bound: float = SCALE_BOUND
+    scales: jax.Array, scale_table: np.ndarray, scale_bound: float | None = None
 ) -> jax.Array:
     """Index of the smallest table entry >= sigma, same shape as scales.
 
     Emitted as uint8 — the wire dtype for the host rANS coder (scale tables
-    have <= 256 levels; the default has 64)."""
+    have <= 256 levels; the default has 64).
+
+    scale_bound defaults to SCALE_BOUND (the reference's 0.11 lower bound,
+    entropy_models.py:20) but can be raised process-wide with the
+    RGBDC_SCALE_BOUND env var: a serving-side rate/speed knob that forces
+    wider CDF rows so under-predicted sigmas stop producing escape symbols
+    (escape rows cost ~3x decode time on the lockstep scan decoder, see
+    docs/PERF.md).  Encoder and decoder share the stage programs, so the
+    floor is consistent on both sides by construction."""
     assert len(scale_table) <= 256, "uint8 index wire format needs <=256 levels"
+    if scale_bound is None:
+        scale_bound = float(os.environ.get("RGBDC_SCALE_BOUND", SCALE_BOUND))
     table = jnp.asarray(scale_table[:-1], dtype=scales.dtype)
     scales = jnp.maximum(scales, scale_bound)
     return jnp.searchsorted(table, scales, side="left").astype(jnp.uint8)

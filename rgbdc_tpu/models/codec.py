@@ -800,19 +800,23 @@ class UnitedCodec:
     # device->host round trips per image batch (~25 ms RTT each through the
     # tunnel), because every phase's symbols must come back for the C rANS
     # decoder.  The lane path keeps the symbols on the DEVICE: the bitstream
-    # is the lane-split rans32 format (coder/csrc/rans.cpp) and each group
-    # decodes with the lockstep scan decoder (coder/rans_tpu.py).  The host
-    # still drives the phase loop, but every call is an ASYNC dispatch —
-    # nothing blocks until the final x_hat fetch.
+    # is the lane-split rans32 format (coder/csrc/rans.cpp) and each slice
+    # is ONE fused jitted program (4 stage computations + 4 lockstep rans
+    # scans, coder/rans_tpu.py).
     #
-    # Bit-exact closure: the decode loop calls the SAME compiled stage
-    # program objects (self._s1..s4/_hyper/_synth) the encoder drives in
-    # _encode_stage_flow.  This is load-bearing: a fused single-program
-    # decoder was tried and DESYNCS on real TPUs — XLA compiles the stage
-    # convs with different bf16 tiling in differently-fused programs, the
-    # means jitter at ~1e-4, and one flipped CDF index corrupts the stream
-    # (the CPU tests pass; only the TPU shows it).  Do not re-fuse the
-    # stage programs across the encoder/decoder boundary.
+    # Bit-exact closure, fused edition: encoder and decoder call the SAME
+    # compiled fused executables — one per slice — with a runtime is_decode
+    # operand selecting (lax.cond) between "decode symbols from the stream"
+    # and "compute symbols from y".  The entropy parameters are produced by
+    # identical machine code on both sides BY CONSTRUCTION, so the fp-jitter
+    # desync that killed the earlier two-program fusion attempt (encoder and
+    # decoder compiled separately -> different conv tiling -> ~1e-4 mean
+    # jitter -> flipped CDF indexes) cannot occur.  Never give either side
+    # its own differently-fused copy of a stage computation.
+    #
+    # Word matrices have a STATIC width (RGBDC_WMAX) so both modes share one
+    # executable: the decoder pads its uploaded words on-device; the encoder
+    # passes a cached zero matrix (its cond branch never reads it).
     #
     # Rate trade-off vs the compat format: 8 bytes/lane of container
     # overhead per stream (state+count headers); at the default 128 lanes
@@ -820,7 +824,12 @@ class UnitedCodec:
     # reference bpp parity; this path is the serving/throughput format.
 
     LANES = int(os.environ.get("RGBDC_LANES", "128"))
-    # word-matrix widths are bucketed so repeat batches reuse compiled fns
+    # static words-per-lane / nibble-words-per-lane capacity of the fused
+    # programs; streams longer than this cannot be decoded on-device
+    # (raise, suggesting the env var)
+    WMAX = int(os.environ.get("RGBDC_WMAX", "5120"))
+    BMAX = int(os.environ.get("RGBDC_BMAX", "2048"))
+    # upload widths are bucketed so repeat batches reuse the pad program
     WORD_BUCKET = 512
 
     def _lane_setup(self):
@@ -841,55 +850,174 @@ class UnitedCodec:
             self.tables.gc, self.tables.eb["depth_entropy_bottleneck"]
         )
         lanes = self.LANES
-        n = self.model.N
+        model = self.model
+        mt = type(model)
+        n = model.N
+        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # the packed decode LUTs are ~134 MB each: they must be
+        # device-resident ARGUMENTS of the jitted fns (a closure capture
+        # would inline them into the HLO and re-ship them through the
+        # tunnel per compile)
+        self._lut_r = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_r)))
+        self._lut_d = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_d)))
 
-        def make_dec(table):
-            # the packed decode LUT is ~134 MB: it must be a device-resident
-            # ARGUMENT of the jitted fns (a closure capture would inline it
-            # into the HLO and re-ship it through the tunnel per compile)
-            lut = jax.device_put(jnp.asarray(_rt.build_lut(table)))
+        def dec_group(st3, words, byp, lut, idx):
+            b = idx.shape[0]
+            carry = _rt.LaneState(*st3)
+            carry, flat = _rt.decode_group(
+                carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut, lanes
+            )
+            return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
-            def dec(state, pos, words, idx, lut):
-                b = idx.shape[0]
-                carry = _rt.LaneState(state, pos)
-                carry, flat = _rt.decode_group(
-                    carry, words, idx.astype(jnp.int32).reshape(b, -1), lut, lanes
-                )
-                return carry.state, carry.pos, flat.reshape(idx.shape).astype(jnp.int16)
+        def fused_z(v, r_st3, r_words, r_byp, d_st3, d_words, d_byp,
+                    rz_enc, dz_enc, is_decode, lut_r, lut_d):
+            """z scans (decode mode) + the shared hyper-decode program."""
+            b, zh, zw, _ = rz_enc.shape
+            c = jnp.arange(n, dtype=jnp.int32) + 64
+            zidx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
 
-            def dec_z(state, words, zh, zw, lut):
-                b = state.shape[0]
-                c = jnp.arange(n, dtype=jnp.int32) + 64
-                idx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
-                carry = _rt.LaneState(state, jnp.zeros(state.shape, jnp.int32))
-                carry, flat = _rt.decode_group(carry, words, idx, lut, lanes)
-                return carry.state, carry.pos, flat.reshape(b, zh, zw, n)
+            def dec_mod(st3, words, byp, lut):
+                carry = _rt.LaneState(*st3)
+                carry, flat = _rt.decode_group(carry, words, byp, zidx, lut, lanes)
+                return tuple(carry), flat.reshape(b, zh, zw, n)
 
-            jd = jax.jit(dec)
-            jdz = jax.jit(dec_z, static_argnums=(2, 3))
+            r_st3, rz = jax.lax.cond(
+                is_decode,
+                lambda: dec_mod(r_st3, r_words, r_byp, lut_r),
+                lambda: (r_st3, rz_enc),
+            )
+            d_st3, dz = jax.lax.cond(
+                is_decode,
+                lambda: dec_mod(d_st3, d_words, d_byp, lut_d),
+                lambda: (d_st3, dz_enc),
+            )
+            rh, dh = model.apply(v, rz, dz, method=mt.hyper_decode)
+            return r_st3, d_st3, rz, dz, rh, dh
+
+        def fused_slice(v, i, r_prev, d_prev, rh, dh, rgb_y, depth_y,
+                        r_st3, r_words, r_byp, d_st3, d_words, d_byp,
+                        is_decode, lut_r, lut_d):
+            """One slice of the 4-group schedule: stage params + symbol
+            source (scan decode OR quantize-from-y) for all four groups."""
+            idx1, r_mn_a, init = model.apply(
+                v, i, r_prev, d_prev, rh, dh, st, method=mt.stage_rgb_anchor
+            )
+            r_st3, r_sym_a = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx1),
+                lambda: (r_st3,
+                         model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)),
+            )
+            idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
+                v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
+            )
+            d_st3, d_sym_a = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx2),
+                lambda: (d_st3,
+                         model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)),
+            )
+            idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
+                v, i, d_sym_a, d_mn_a, r_local, init, st,
+                method=mt.stage_rgb_nonanchor,
+            )
+            r_st3, r_sym_na = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx3),
+                lambda: (r_st3,
+                         model.apply(v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols)),
+            )
+            idx4, d_mn_na, r_hat_slice = model.apply(
+                v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
+                method=mt.stage_depth_nonanchor,
+            )
+            d_st3, d_sym_na = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx4),
+                lambda: (d_st3,
+                         model.apply(v, i, depth_y, d_mn_na, method=mt.nonanchor_symbols)),
+            )
+            d_hat_slice = model.apply(
+                v, d_anchor_hat, d_sym_na, d_mn_na, method=mt.merge_depth_slice
+            )
             return (
-                lambda s, p, w, i: jd(s, p, w, i, lut),
-                lambda s, w, zh, zw: jdz(s, w, zh, zw, lut),
+                r_hat_slice, d_hat_slice, r_st3, d_st3,
+                (r_sym_a, idx1), (r_sym_na, idx3),
+                (d_sym_a, idx2), (d_sym_na, idx4),
             )
 
-        self._dec_r, self._dec_z_r = make_dec(self._comb_r)
-        self._dec_d, self._dec_z_d = make_dec(self._comb_d)
+        jfz = jax.jit(fused_z)
+        self._fused_z = lambda v, *a: jfz(v, *a, self._lut_r, self._lut_d)
+
+        def make_fs(i):
+            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
+            return lambda v, *a: f(v, *a, self._lut_r, self._lut_d)
+
+        self._fused_slice = {i: make_fs(i) for i in range(len(model.slice_ch))}
+        self._pad_to = {
+            cap: jax.jit(
+                lambda w, _c=cap: jnp.pad(w, ((0, 0), (0, 0), (0, _c - w.shape[-1])))
+            )
+            for cap in (self.WMAX, self.BMAX)
+        }
         self._lane_ready = True
+
+    def _dummy_lane_inputs(self, b):
+        """Cached zero (st3, words, byp) the encoder passes to the fused
+        programs (its cond branches never read them)."""
+        cached = getattr(self, "_dummy_cache", None)
+        if cached is not None and cached[0] == b:
+            return cached[1]
+        zs = jnp.zeros((b, self.LANES), jnp.uint32)
+        zp = jnp.zeros((b, self.LANES), jnp.int32)
+        zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
+        zb = jnp.zeros((b, self.LANES, self.BMAX), jnp.uint16)
+        self._dummy_cache = (b, ((zs, zp, zp), zw, zb))
+        return (zs, zp, zp), zw, zb
+
+    def _fused_flow(self, v, rgb_y, depth_y, rz_sym, dz_sym,
+                    r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode):
+        """Drive the fused programs over all slices (both modes)."""
+        r_st3, d_st3, rz, dz, rh, dh = self._fused_z(
+            v, r_st3, r_words, r_byp, d_st3, d_words, d_byp, rz_sym, dz_sym,
+            is_decode,
+        )
+        r_prev, d_prev = [], []
+        r_groups, d_groups = [], []
+        for i in range(len(self.model.slice_ch)):
+            (r_hat, d_hat, r_st3, d_st3,
+             g_ra, g_rna, g_da, g_dna) = self._fused_slice[i](
+                v, tuple(r_prev), tuple(d_prev), rh, dh, rgb_y, depth_y,
+                r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
+            )
+            r_prev.append(r_hat)
+            d_prev.append(d_hat)
+            r_groups += [g_ra, g_rna]
+            d_groups += [g_da, g_dna]
+        return rz, dz, r_groups, d_groups, r_prev, d_prev
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
-        per image; on-device-decodable).  Stage computations are the shared
-        per-stage programs — identical to what decompress_lanes replays."""
+        per image; on-device-decodable).  Drives the SAME fused executables
+        decompress_lanes runs, with is_decode=False (bit-exact closure)."""
         self._lane_setup()
-        rz_sym, dz_sym, (r_packed, r_lens), (d_packed, d_lens), r_prev, d_prev = (
-            self._encode_stage_flow(rgb, depth)
+        v = self.variables
+        rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
+        b = rgb.shape[0]
+        zst3, zw, zb = self._dummy_lane_inputs(b)
+        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = self._fused_flow(
+            v, rgb_y, depth_y, rz_sym, dz_sym,
+            zst3, zw, zb, zst3, zw, zb, jnp.asarray(False),
         )
         r_y_hat = jnp.concatenate(r_prev, axis=-1)
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
+        r_lens = [int(np.prod(sym.shape[1:])) for sym, _ in r_groups]
+        d_lens = [int(np.prod(sym.shape[1:])) for sym, _ in d_groups]
+        r_packed = _start_host_copy(_pack_groups(r_groups))
+        d_packed = _start_host_copy(_pack_groups(d_groups))
         rz_sym, dz_sym, (r_sym, r_idx), (d_sym, d_idx) = jax.device_get(
             (rz_sym, dz_sym, r_packed, d_packed)
         )
-        b = rz_sym.shape[0]
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
 
         def build_stream(n_img, z_sym, y_sym, y_idx, lens, table):
@@ -917,50 +1045,48 @@ class UnitedCodec:
 
     def _stack_streams(self, streams):
         split = [self._lanes_split(s, self.LANES) for s in streams]
-        w = max(max((s[1].shape[1] for s in split), default=1), 1)
-        w = -(-w // self.WORD_BUCKET) * self.WORD_BUCKET
-        states = np.stack([s[0] for s in split])
-        words = np.stack(
-            [np.pad(s[1], ((0, 0), (0, w - s[1].shape[1]))) for s in split]
+
+        def stack(k, cap, env):
+            w = max(max((s[k].shape[1] for s in split), default=1), 1)
+            if w > cap:
+                raise ValueError(
+                    f"lane stream needs {w} u16/lane > {env}={cap}; "
+                    "raise the env var (recompiles the fused programs)"
+                )
+            w = min(-(-w // self.WORD_BUCKET) * self.WORD_BUCKET, cap)
+            arr = np.stack(
+                [np.pad(s[k], ((0, 0), (0, w - s[k].shape[1]))) for s in split]
+            )
+            # upload the bucketed width; pad to the static cap on DEVICE
+            return self._pad_to[cap](jnp.asarray(arr))
+
+        states = jnp.asarray(np.stack([s[0] for s in split]))
+        return (
+            states,
+            stack(1, self.WMAX, "RGBDC_WMAX"),
+            stack(2, self.BMAX, "RGBDC_BMAX"),
         )
-        return jnp.asarray(states), jnp.asarray(words)
 
     def decompress_lanes(self, r_streams, d_streams, shape) -> dict:
-        """On-device decode: upload the bitstreams once, then replay the
-        shared stage programs interleaved with jitted scan-decode calls —
-        all async dispatches, zero blocking host pulls."""
+        """On-device decode: upload the bitstreams once, then run the SAME
+        fused executables compress_lanes drove, with is_decode=True — all
+        async dispatches, zero blocking host pulls."""
         self._lane_setup()
         v = self.variables
         zh, zw = int(shape[0]), int(shape[1])
-        r_state, r_words = self._stack_streams(r_streams)
-        d_state, d_words = self._stack_streams(d_streams)
+        b = len(r_streams)
+        r_state, r_words, r_byp = self._stack_streams(r_streams)
+        d_state, d_words, d_byp = self._stack_streams(d_streams)
+        pos0 = jnp.zeros((b, self.LANES), jnp.int32)
+        n, m = self.model.N, self.model.M
+        rz0 = jnp.zeros((b, zh, zw, n), jnp.int32)
+        y0 = jnp.zeros((b, zh * 4, zw * 4, m), jnp.float32)
 
-        r_state, r_pos, rz_sym = self._dec_z_r(r_state, r_words, zh, zw)
-        d_state, d_pos, dz_sym = self._dec_z_d(d_state, d_words, zh, zw)
-        rgb_hyper, depth_hyper = self._hyper(v, rz_sym, dz_sym)
-
-        r_prev, d_prev = [], []
-        for i in range(len(self.model.slice_ch)):
-            idx1, r_mn_a, init = self._s1[i](
-                v, tuple(r_prev), tuple(d_prev), rgb_hyper, depth_hyper
-            )
-            r_state, r_pos, r_sym_a = self._dec_r(r_state, r_pos, r_words, idx1)
-            idx2, d_mn_a, r_anchor_hat, r_local = self._s2[i](
-                v, r_sym_a, r_mn_a, init
-            )
-            d_state, d_pos, d_sym_a = self._dec_d(d_state, d_pos, d_words, idx2)
-            idx3, r_mn_na, d_anchor_hat, d_local = self._s3[i](
-                v, d_sym_a, d_mn_a, r_local, init
-            )
-            r_state, r_pos, r_sym_na = self._dec_r(r_state, r_pos, r_words, idx3)
-            idx4, d_mn_na, r_hat_slice = self._s4[i](
-                v, r_anchor_hat, r_sym_na, r_mn_na, d_local, init
-            )
-            d_state, d_pos, d_sym_na = self._dec_d(d_state, d_pos, d_words, idx4)
-            d_hat_slice = self._merge_d(v, d_anchor_hat, d_sym_na, d_mn_na)
-            r_prev.append(r_hat_slice)
-            d_prev.append(d_hat_slice)
-
+        _, _, _, _, r_prev, d_prev = self._fused_flow(
+            v, y0, y0, rz0, rz0,
+            (r_state, pos0, pos0), r_words, r_byp,
+            (d_state, pos0, pos0), d_words, d_byp, jnp.asarray(True),
+        )
         rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
         depth_y_hat = jnp.concatenate(d_prev, axis=-1)
         rgb_hat, depth_hat = self._synth(v, rgb_y_hat, depth_y_hat)

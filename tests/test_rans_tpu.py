@@ -28,15 +28,16 @@ def _random_stream(rng, n, esc_rate=0.02):
 
 def _jax_decode(data, idx, group_lens, lanes, batch=True):
     tbl = rt.device_table(TABLE)
-    states, words = lanes_split(data, lanes)
+    states, words, byp = lanes_split(data, lanes)
     s = jnp.asarray(states)[None] if batch else jnp.asarray(states)
     w = jnp.asarray(words)[None] if batch else jnp.asarray(words)
+    bp = jnp.asarray(byp)[None] if batch else jnp.asarray(byp)
     carry = rt.init_lane_state(s)
     out, base = [], 0
     for gl in group_lens:
         gi = np.asarray(idx[base : base + gl])
         gi = jnp.asarray(gi)[None] if batch else jnp.asarray(gi)
-        carry, sym = rt.decode_group(carry, w, gi, tbl, lanes=lanes)
+        carry, sym = rt.decode_group(carry, w, bp, gi, tbl, lanes=lanes)
         out.append(np.asarray(sym).reshape(-1))
         base += gl
     return np.concatenate(out).astype(np.int16), carry
@@ -64,8 +65,9 @@ class TestCLanes:
         data = lanes_encode(
             np.zeros(0, np.int16), np.zeros(0, np.uint8), [0], TABLE, lanes=8
         )
-        states, words = lanes_split(data, 8)
-        assert np.all(states == 1 << 16) and words.shape[1] == 0
+        states, words, byp = lanes_split(data, 8)
+        assert np.all(states == 1 << 16) and words.shape[1] <= 1
+        assert np.all(words == 0) and np.all(byp == 0)
 
 
 class TestJaxLaneDecoder:
@@ -110,17 +112,22 @@ class TestJaxLaneDecoder:
             datas.append(lanes_encode(sym, idx0, group_lens, TABLE, lanes=lanes))
         split = [lanes_split(d, lanes) for d in datas]
         W = max(s[1].shape[1] for s in split)
+        BW = max(s[2].shape[1] for s in split)
         states = np.stack([s[0] for s in split])
         words = np.stack(
             [np.pad(s[1], ((0, 0), (0, W - s[1].shape[1]))) for s in split]
         )
+        byps = np.stack(
+            [np.pad(s[2], ((0, 0), (0, BW - s[2].shape[1]))) for s in split]
+        )
         tbl = rt.device_table(TABLE)
         carry = rt.init_lane_state(jnp.asarray(states))
         wj = jnp.asarray(words)
+        bj = jnp.asarray(byps)
         base = 0
         for gl in group_lens:
             gi = jnp.asarray(np.stack([s[1][base : base + gl] for s in syms]))
-            carry, out = rt.decode_group(carry, wj, gi, tbl, lanes=lanes)
+            carry, out = rt.decode_group(carry, wj, bj, gi, tbl, lanes=lanes)
             for b in range(B):
                 assert np.array_equal(
                     np.asarray(out[b], np.int16), syms[b][0][base : base + gl]
@@ -141,11 +148,12 @@ class TestJaxLaneDecoder:
         idx = np.concatenate([idx1, idx2])
         data = lanes_encode(sym, idx, [n1, n2], comb, lanes=8)
         tbl = rt.device_table(comb)
-        states, words = lanes_split(data, 8)
+        states, words, byp = lanes_split(data, 8)
         carry = rt.init_lane_state(jnp.asarray(states))
         wj = jnp.asarray(words)
-        carry, o1 = rt.decode_group(carry, wj, jnp.asarray(idx1), tbl, lanes=8)
-        carry, o2 = rt.decode_group(carry, wj, jnp.asarray(idx2), tbl, lanes=8)
+        bj = jnp.asarray(byp)
+        carry, o1 = rt.decode_group(carry, wj, bj, jnp.asarray(idx1), tbl, lanes=8)
+        carry, o2 = rt.decode_group(carry, wj, bj, jnp.asarray(idx2), tbl, lanes=8)
         got = np.concatenate([np.asarray(o1), np.asarray(o2)]).astype(np.int16)
         assert np.array_equal(got, sym)
 
@@ -158,16 +166,17 @@ class TestLutDecoder:
         group_lens = [3000, 1700]
         sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.05)
         data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
-        states, words = lanes_split(data, lanes)
+        states, words, byp = lanes_split(data, lanes)
         out = {}
         for lut in (False, True):
             tbl = jnp.asarray(rt.build_lut(TABLE)) if lut else rt.device_table(TABLE)
             carry = rt.init_lane_state(jnp.asarray(states))
             wj = jnp.asarray(words)
+            bj = jnp.asarray(byp)
             got, base = [], 0
             for gl in group_lens:
                 carry, s = rt.decode_group(
-                    carry, wj, jnp.asarray(idx[base : base + gl]), tbl, lanes=lanes
+                    carry, wj, bj, jnp.asarray(idx[base : base + gl]), tbl, lanes=lanes
                 )
                 got.append(np.asarray(s))
                 base += gl
