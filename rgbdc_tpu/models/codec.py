@@ -976,14 +976,24 @@ class UnitedCodec:
         return (zs, zp, zp), zw, zb
 
     def _fused_flow(self, v, rgb_y, depth_y, rz_sym, dz_sym,
-                    r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode):
-        """Drive the fused programs over all slices (both modes)."""
+                    r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
+                    pack=False):
+        """Drive the fused programs over all slices (both modes).
+
+        pack=True (encode): each slice's 4 (sym, idx) groups are packed to
+        [B, len] wire buffers ON DEVICE right after the slice's program is
+        dispatched and their d2h copies start immediately — the ~40 MB of
+        wire tensors cross the link UNDER the remaining slices' compute
+        instead of as a 1.6 s serial tail (docs/PERF.md phase table).
+        Returns per-slice packed chunk lists instead of raw group lists."""
         r_st3, d_st3, rz, dz, rh, dh = self._fused_z(
             v, r_st3, r_words, r_byp, d_st3, d_words, d_byp, rz_sym, dz_sym,
             is_decode,
         )
+        if pack:
+            _start_host_copy((rz, dz))
         r_prev, d_prev = [], []
-        r_groups, d_groups = [], []
+        r_out, d_out = [], []
         for i in range(len(self.model.slice_ch)):
             (r_hat, d_hat, r_st3, d_st3,
              g_ra, g_rna, g_da, g_dna) = self._fused_slice[i](
@@ -992,9 +1002,13 @@ class UnitedCodec:
             )
             r_prev.append(r_hat)
             d_prev.append(d_hat)
-            r_groups += [g_ra, g_rna]
-            d_groups += [g_da, g_dna]
-        return rz, dz, r_groups, d_groups, r_prev, d_prev
+            if pack:
+                r_out.append(_start_host_copy(_pack_groups([g_ra, g_rna])))
+                d_out.append(_start_host_copy(_pack_groups([g_da, g_dna])))
+            else:
+                r_out += [g_ra, g_rna]
+                d_out += [g_da, g_dna]
+        return rz, dz, r_out, d_out, r_prev, d_prev
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
@@ -1005,36 +1019,40 @@ class UnitedCodec:
         rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
         b = rgb.shape[0]
         zst3, zw, zb = self._dummy_lane_inputs(b)
-        rz_sym, dz_sym, r_groups, d_groups, r_prev, d_prev = self._fused_flow(
+        rz_sym, dz_sym, r_chunks, d_chunks, r_prev, d_prev = self._fused_flow(
             v, rgb_y, depth_y, rz_sym, dz_sym,
-            zst3, zw, zb, zst3, zw, zb, jnp.asarray(False),
+            zst3, zw, zb, zst3, zw, zb, jnp.asarray(False), pack=True,
         )
         r_y_hat = jnp.concatenate(r_prev, axis=-1)
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
-        r_lens = [int(np.prod(sym.shape[1:])) for sym, _ in r_groups]
-        d_lens = [int(np.prod(sym.shape[1:])) for sym, _ in d_groups]
-        r_packed = _start_host_copy(_pack_groups(r_groups))
-        d_packed = _start_host_copy(_pack_groups(d_groups))
-        rz_sym, dz_sym, (r_sym, r_idx), (d_sym, d_idx) = jax.device_get(
-            (rz_sym, dz_sym, r_packed, d_packed)
+        rz_sym, dz_sym, r_chunks, d_chunks = jax.device_get(
+            (rz_sym, dz_sym, r_chunks, d_chunks)
         )
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
+        # group lens per slice chunk: [anchor, nonanchor] from the packed
+        # buffer split (both have the same flat length per slice)
+        def lens_of(chunks):
+            return [c[0].shape[1] // 2 for c in chunks for _ in (0, 1)]
 
-        def build_stream(n_img, z_sym, y_sym, y_idx, lens, table):
+        r_lens, d_lens = lens_of(r_chunks), lens_of(d_chunks)
+
+        def build_stream(n_img, z_sym, chunks, lens, table):
             z = np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)
             return self._lanes_encode(
-                np.concatenate([z, y_sym[n_img]]),
-                np.concatenate([z_idx[n_img].reshape(-1), y_idx[n_img]]),
+                np.concatenate([z] + [c[0][n_img] for c in chunks]),
+                np.concatenate(
+                    [z_idx[n_img].reshape(-1)] + [c[1][n_img] for c in chunks]
+                ),
                 [z.size] + list(lens),
                 table,
                 lanes=self.LANES,
             )
 
         r_streams = _tmap(
-            lambda i: build_stream(i, rz_sym, r_sym, r_idx, r_lens, self._comb_r), b
+            lambda i: build_stream(i, rz_sym, r_chunks, r_lens, self._comb_r), b
         )
         d_streams = _tmap(
-            lambda i: build_stream(i, dz_sym, d_sym, d_idx, d_lens, self._comb_d), b
+            lambda i: build_stream(i, dz_sym, d_chunks, d_lens, self._comb_d), b
         )
         return {
             "r_streams": r_streams,

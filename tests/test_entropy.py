@@ -154,3 +154,26 @@ class TestEntropyBottleneck:
             row = table.cdf[i, : table.cdf_length[i]]
             assert row[0] == 0 and row[-1] == 1 << 16
             assert np.all(np.diff(row) > 0)
+
+
+class TestScaleBoundKnob:
+    def test_env_floor_overrides_default(self, monkeypatch):
+        """RGBDC_SCALE_BOUND raises the minimum sigma used for CDF-row
+        selection (serving-side rate/speed knob, docs/PERF.md)."""
+        import numpy as np
+
+        from rgbdc_tpu.entropy import get_scale_table
+        from rgbdc_tpu.entropy.gaussian import build_indexes
+
+        st = get_scale_table()
+        scales = jnp.asarray([0.05, 0.2, 8.0, 300.0])
+        base = np.asarray(build_indexes(scales, st))
+        monkeypatch.setenv("RGBDC_SCALE_BOUND", "16")
+        floored = np.asarray(build_indexes(scales, st))
+        floor_idx = int(np.searchsorted(st[:-1], 16.0, side="left"))
+        assert (floored >= floor_idx).all()
+        # entries already above the floor are untouched
+        assert floored[3] == base[3]
+        # explicit argument wins over the env
+        explicit = np.asarray(build_indexes(scales, st, scale_bound=0.11))
+        assert np.array_equal(explicit, base)
