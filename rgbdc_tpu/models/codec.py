@@ -99,6 +99,23 @@ def _pack_groups(groups):
     return sym, idx
 
 
+@jax.jit
+def _pack_groups_i8(groups):
+    """i8 variant of _pack_groups: symbols cross as int8 (2 B/symbol total
+    with the u8 index — residuals almost never exceed +-127; measured max 9
+    on the bench model, docs/PERF.md).  Returns (sym8, idx, overflow count
+    per image); a nonzero count makes the caller fall back to the exact
+    i16 pull for that batch."""
+    b = groups[0][0].shape[0]
+    sym = jnp.concatenate([s.reshape(b, -1) for s, _ in groups], axis=1)
+    idx = jnp.concatenate(
+        [i.reshape(b, -1).astype(jnp.uint8) for _, i in groups], axis=1
+    )
+    big = (sym < -127) | (sym > 127)
+    sym8 = jnp.clip(sym, -127, 127).astype(jnp.int8)
+    return sym8, idx, jnp.sum(big, axis=1, dtype=jnp.int32)
+
+
 class ElicCodec:
     """compress()/decompress() for ELIC-style single-latent checkerboard
     models (ELIC, Cheng2020+ckbd via shared method names)."""
@@ -1003,8 +1020,14 @@ class UnitedCodec:
             r_prev.append(r_hat)
             d_prev.append(d_hat)
             if pack:
-                r_out.append(_start_host_copy(_pack_groups([g_ra, g_rna])))
-                d_out.append(_start_host_copy(_pack_groups([g_da, g_dna])))
+                r_out.append(
+                    (_start_host_copy(_pack_groups_i8([g_ra, g_rna])),
+                     (g_ra, g_rna))
+                )
+                d_out.append(
+                    (_start_host_copy(_pack_groups_i8([g_da, g_dna])),
+                     (g_da, g_dna))
+                )
             else:
                 r_out += [g_ra, g_rna]
                 d_out += [g_da, g_dna]
@@ -1025,16 +1048,31 @@ class UnitedCodec:
         )
         r_y_hat = jnp.concatenate(r_prev, axis=-1)
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
-        rz_sym, dz_sym, r_chunks, d_chunks = jax.device_get(
-            (rz_sym, dz_sym, r_chunks, d_chunks)
+        r_packed = [c[0] for c in r_chunks]
+        d_packed = [c[0] for c in d_chunks]
+        rz_sym, dz_sym, r_pulled, d_pulled = jax.device_get(
+            (rz_sym, dz_sym, r_packed, d_packed)
         )
+
+        def widen(pulled, chunks):
+            """i8 -> i16 host-side; exact-i16 re-pull on (rare) overflow."""
+            out = []
+            for (sym8, idx, ovf), (_, groups) in zip(pulled, chunks):
+                if int(ovf.max()) == 0:
+                    out.append((sym8.astype(np.int16), idx))
+                else:
+                    out.append(jax.device_get(_pack_groups(list(groups))))
+            return out
+
+        r_pulled = widen(r_pulled, r_chunks)
+        d_pulled = widen(d_pulled, d_chunks)
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
         # group lens per slice chunk: [anchor, nonanchor] from the packed
         # buffer split (both have the same flat length per slice)
         def lens_of(chunks):
             return [c[0].shape[1] // 2 for c in chunks for _ in (0, 1)]
 
-        r_lens, d_lens = lens_of(r_chunks), lens_of(d_chunks)
+        r_lens, d_lens = lens_of(r_pulled), lens_of(d_pulled)
 
         def build_stream(n_img, z_sym, chunks, lens, table):
             z = np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)
@@ -1049,10 +1087,10 @@ class UnitedCodec:
             )
 
         r_streams = _tmap(
-            lambda i: build_stream(i, rz_sym, r_chunks, r_lens, self._comb_r), b
+            lambda i: build_stream(i, rz_sym, r_pulled, r_lens, self._comb_r), b
         )
         d_streams = _tmap(
-            lambda i: build_stream(i, dz_sym, d_chunks, d_lens, self._comb_d), b
+            lambda i: build_stream(i, dz_sym, d_pulled, d_lens, self._comb_d), b
         )
         return {
             "r_streams": r_streams,
