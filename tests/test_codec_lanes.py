@@ -77,3 +77,36 @@ class TestLaneCodec:
         compat_bytes = sum(len(s) for ss in compat["r_strings"] for s in ss)
         overhead = 8 * UnitedCodec.LANES * len(lane["r_streams"])
         assert lane_bytes <= compat_bytes * 1.02 + overhead * 1.5
+
+
+class TestPackGroupsI8:
+    def test_overflow_detection_and_clip(self):
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models.codec import _pack_groups, _pack_groups_i8
+
+        sym = jnp.asarray([[5, -200, 127, -127, 300, 0]], jnp.int16)
+        idx = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
+        s8, i8, ovf = _pack_groups_i8([(sym, idx)])
+        assert int(ovf[0]) == 2  # -200 and 300 exceed int8
+        assert s8.dtype == jnp.int8 and i8.dtype == jnp.uint8
+        # in-range symbols survive exactly; the exact path is the fallback
+        np.testing.assert_array_equal(
+            np.asarray(s8[0, [0, 2, 3, 5]]), [5, 127, -127, 0]
+        )
+        s16, i16 = _pack_groups([(sym, idx)])
+        np.testing.assert_array_equal(np.asarray(s16), np.asarray(sym))
+
+    def test_no_overflow_roundtrips_through_int8(self):
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models.codec import _pack_groups_i8
+
+        rng = np.random.default_rng(0)
+        sym = jnp.asarray(rng.integers(-127, 128, (2, 64)), jnp.int16)
+        idx = jnp.asarray(rng.integers(0, 64, (2, 64)), jnp.int32)
+        s8, _, ovf = _pack_groups_i8([(sym, idx)])
+        assert int(np.asarray(ovf).max()) == 0
+        np.testing.assert_array_equal(
+            np.asarray(s8).astype(np.int16), np.asarray(sym)
+        )
