@@ -390,3 +390,40 @@ def lanes_split(data: bytes, lanes: int = 128):
         nwords[l, :c] = rest[pos : pos + c]
         pos += c
     return states, words, nwords
+
+
+def assemble_lanes_container(states, wcounts, words_emitted, nib_streams):
+    """Build a v2 lane-split container from the ON-DEVICE encoder's outputs
+    (coder/rans_tpu.py encode_groups): per-lane words arrive in EMISSION
+    order and are flipped here into decode-consume order; nib_streams is a
+    per-lane list of bypass nibble values (forward decode order), built by
+    the caller from the escape sideband."""
+    lanes = states.shape[0]
+    states = np.ascontiguousarray(states, dtype=np.uint32)
+    wcounts = np.ascontiguousarray(wcounts, dtype=np.uint32)
+    ncounts = np.asarray([len(nib_streams[l]) for l in range(lanes)], np.uint32)
+    parts = [states.tobytes(), wcounts.tobytes(), ncounts.tobytes()]
+    for l in range(lanes):
+        c = int(wcounts[l])
+        parts.append(np.ascontiguousarray(words_emitted[l, :c][::-1]).tobytes())
+    for l in range(lanes):
+        nibs = nib_streams[l]
+        nw = np.zeros((len(nibs) + 3) // 4, np.uint16)
+        for j, v in enumerate(nibs):
+            nw[j >> 2] |= np.uint16(v) << (4 * (j & 3))
+        parts.append(nw.tobytes())
+    return b"".join(parts)
+
+
+def build_nibble_streams(esc_list, group_lens, lanes):
+    """Distribute (global_pos, nibbles) escape records into per-lane FIFO
+    nibble streams using the group-restarting lane assignment (symbol j of
+    group g -> lane (j - g_start) % lanes)."""
+    bounds = np.cumsum([0] + [int(g) for g in group_lens])
+    streams = [[] for _ in range(lanes)]
+    gi = 0
+    for pos, nibs in esc_list:  # esc_list is in increasing pos order
+        while pos >= bounds[gi + 1]:
+            gi += 1
+        streams[(pos - bounds[gi]) % lanes].extend(nibs)
+    return streams

@@ -319,3 +319,152 @@ def decode_group(
     inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
     syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
     return carry, syms
+
+
+# -- on-device lane ENCODER ---------------------------------------------------
+#
+# The v2 wire format's main stream is pure rANS (escape bypass nibbles live
+# in separate per-lane FIFO streams), so encoding is a reverse lockstep
+# scan: per row each lane (1) looks up (start, freq) for its symbol —
+# escapes clamp into the table's escape row — (2) conditionally emits one
+# 16-bit word (LIFO renorm), (3) advances x = (x/freq)<<16 + x%freq + start.
+# Escape NIBBLE streams are assembled on the HOST from a compact sideband
+# (escapes are data-independent of the rANS state, so their positions are
+# known without running the scan).  Only ~stream-sized bytes cross the
+# link; the C encoder remains the compat-container / fallback path.
+
+
+def build_enc_lut(table: CdfTable) -> np.ndarray:
+    """[n * 65536] uint32 encode LUT: (freq << 16) | start for symbol value
+    s+32768 under row n; out-of-range values map to the escape row."""
+    n = table.cdf.shape[0]
+    lut = np.empty((n, 1 << 16), np.uint32)
+    vals = np.arange(-32768, 32768, dtype=np.int64)
+    for r in range(n):
+        ln = int(table.cdf_length[r])
+        row = table.cdf[r, :ln].astype(np.int64)
+        off = int(table.offset[r])
+        maxv = ln - 2
+        value = vals - off
+        # out-of-range on EITHER side codes the escape symbol (row maxv)
+        v = np.where((value >= 0) & (value < maxv), value, maxv)
+        start = row[v].astype(np.uint32)
+        freq = (row[v + 1] - row[v]).astype(np.uint32)
+        lut[r] = (freq << 16) | start
+    return lut.reshape(-1)
+
+
+def escape_chunks(sym: np.ndarray, idx: np.ndarray, table: CdfTable):
+    """Host helper: per-symbol escape nibble sequences (count nibble chain +
+    LSB-first 4-bit chunks), empty for in-range symbols.  numpy, vectorized
+    detection + a python loop only over the (sparse) escapes."""
+    off = table.offset[idx]
+    maxv = table.cdf_length[idx] - 2
+    value = sym.astype(np.int64) - off
+    esc = (value < 0) | (value >= maxv)
+    out = []
+    for i in np.nonzero(esc)[0]:
+        v = int(value[i])
+        raw = 2 * (-v) - 1 if v < 0 else 2 * (v - int(maxv[i]))
+        n_byp = 0
+        while (raw >> (n_byp * 4)) != 0:
+            n_byp += 1
+        nibs = []
+        c = n_byp
+        while c >= 15:
+            nibs.append(15)
+            c -= 15
+        nibs.append(c)
+        for j in range(n_byp):
+            nibs.append((raw >> (4 * j)) & 0xF)
+        out.append((int(i), nibs))
+    return out
+
+
+def _encode_row(carry, lut, idx_row, sym_row, act):
+    """One reverse lockstep row: each active lane pushes one symbol."""
+    state, wpos, words = carry
+    safe_idx = jnp.where(act, idx_row, 0)
+    key = safe_idx * (1 << 16) + (sym_row.astype(jnp.int32) + 32768)
+    sf = jnp.take(lut, key)
+    start = (sf & MASK16).astype(jnp.uint32)
+    freq = sf >> 16
+    freq = jnp.maximum(freq, 1)
+
+    emit = act & (state >= (freq << 16))
+    word = (state & MASK16).astype(jnp.uint16)
+    lead = state.shape[:-1]
+    bidx = jnp.broadcast_to(
+        jnp.arange(state.shape[0], dtype=jnp.int32)[:, None], state.shape
+    ) if len(lead) == 1 else None
+    lidx = jnp.broadcast_to(
+        jnp.arange(state.shape[-1], dtype=jnp.int32), state.shape
+    )
+    # masked scatter: inactive lanes write (harmlessly) to their current
+    # slot with their existing word? No — use mode=drop via an OOB index.
+    tgt = jnp.where(emit, wpos, jnp.full_like(wpos, words.shape[-1]))
+    words = words.at[bidx, lidx, tgt].set(word, mode="drop")
+    state = jnp.where(emit, state >> 16, state)
+    wpos = wpos + emit.astype(jnp.int32)
+
+    q = state // freq
+    r = state - q * freq
+    nstate = (q << 16) + r + start
+    state = jnp.where(act, nstate, state)
+    return (state, wpos, words), None
+
+
+def encode_groups(
+    sym: jnp.ndarray,
+    indexes: jnp.ndarray,
+    enc_lut: jnp.ndarray,
+    lanes: int = DEFAULT_LANES,
+    group_lens=None,
+    wcap: int = 4096,
+):
+    """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
+    word streams on device.
+
+    Returns (states u32[B,lanes], wcounts i32[B,lanes],
+    words u16[B,lanes,wcap]) where words[b,l,:wcounts] holds lane l's words
+    in EMISSION order (reverse of decode-consume order — the host flips
+    each lane when assembling the container).  group_lens must be the
+    static per-group symbol counts used by the matching decode calls."""
+    b, total = sym.shape
+    assert group_lens is not None and int(np.sum(group_lens)) == total
+    idx_rows, sym_rows, act_rows = [], [], []
+    basep = 0
+    for gl in group_lens:
+        gl = int(gl)
+        steps = max(-(-gl // lanes), 1)
+        pad = steps * lanes - gl
+        gs = jnp.pad(sym[:, basep : basep + gl].astype(jnp.int32), ((0, 0), (0, pad)))
+        gi = jnp.pad(
+            indexes[:, basep : basep + gl].astype(jnp.int32), ((0, 0), (0, pad))
+        )
+        sym_rows.append(gs.reshape(b, steps, lanes).transpose(1, 0, 2))
+        idx_rows.append(gi.reshape(b, steps, lanes).transpose(1, 0, 2))
+        valid = (
+            jnp.arange(steps * lanes, dtype=jnp.int32).reshape(steps, lanes) < gl
+        )
+        act_rows.append(
+            jnp.broadcast_to(valid[:, None, :], (steps, b, lanes))
+        )
+        basep += gl
+    # reverse row order: LIFO encoding mirrors the forward decode rows
+    idx_r = jnp.concatenate(idx_rows, axis=0)[::-1]
+    sym_r = jnp.concatenate(sym_rows, axis=0)[::-1]
+    act_r = jnp.concatenate(act_rows, axis=0)[::-1]
+
+    state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
+    wpos0 = jnp.zeros((b, lanes), jnp.int32)
+    words0 = jnp.zeros((b, lanes, wcap), jnp.uint16)
+
+    def step(c, xs):
+        i_r, s_r, a_r = xs
+        return _encode_row(c, enc_lut, i_r, s_r, a_r)
+
+    (state, wpos, words), _ = jax.lax.scan(
+        step, (state0, wpos0, words0), (idx_r, sym_r, act_r)
+    )
+    return state, wpos, words

@@ -97,6 +97,13 @@ def build_indexes(
     assert len(scale_table) <= 256, "uint8 index wire format needs <=256 levels"
     if scale_bound is None:
         scale_bound = float(os.environ.get("RGBDC_SCALE_BOUND", SCALE_BOUND))
-    table = jnp.asarray(scale_table[:-1], dtype=scales.dtype)
     scales = jnp.maximum(scales, scale_bound)
-    return jnp.searchsorted(table, scales, side="left").astype(jnp.uint8)
+    # Unrolled scalar-compare accumulation instead of jnp.searchsorted:
+    # searchsorted lowers to a while-loop of gathers on TPU and burned
+    # ~94 ms PER STAGE CALL at codec shapes (the single largest op in the
+    # decode profile, docs/PERF.md); 63 fused scalar compares cost ~1 ms.
+    # Identical semantics: side='left' == count of entries < scale.
+    idx = jnp.zeros(scales.shape, jnp.uint8)
+    for t in np.asarray(scale_table[:-1], dtype=np.float32):
+        idx = idx + (scales > t).astype(jnp.uint8)
+    return idx

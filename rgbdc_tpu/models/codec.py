@@ -127,7 +127,9 @@ class ElicCodec:
         # the reference's _EntropyCoder proxy (entropy_models.py:20-57)
         self.RansEncoder, self.RansDecoder = entropy_coder_classes()
         self.tables = tables if tables is not None else CodecTables.build(variables)
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
 
         mt = type(model)
         self._encode_front = jax.jit(
@@ -378,7 +380,9 @@ class MlicCodec(ElicCodec):
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         super().__init__(model, variables, tables)
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
         mt = type(model)
         self._dec_nonanchor = {
             i: jax.jit(
@@ -492,7 +496,9 @@ class ChannelARCodec:
         self.variables = variables
         self.RansEncoder, self.RansDecoder = entropy_coder_classes()
         self.tables = tables if tables is not None else CodecTables.build(variables)
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
         mt = type(model)
         n_slices = len(model.slice_ch)
 
@@ -612,7 +618,9 @@ class UnitedCodec:
             if tables is not None
             else CodecTables.build(variables, eb_names=self.EB_NAMES)
         )
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
         mt = type(model)
         n_slices = len(model.slice_ch)
 
@@ -870,13 +878,28 @@ class UnitedCodec:
         model = self.model
         mt = type(model)
         n = model.N
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
         # the packed decode LUTs are ~134 MB each: they must be
         # device-resident ARGUMENTS of the jitted fns (a closure capture
         # would inline them into the HLO and re-ship them through the
         # tunnel per compile)
         self._lut_r = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_r)))
         self._lut_d = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_d)))
+        # encode LUTs for the on-device reverse-scan encoder (64 MB each)
+        self._enc_lut_r = jax.device_put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
+        self._enc_lut_d = jax.device_put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
+        # per-row (offset, maxv) as SMALL static tables for the escape-count
+        # guard — looked up with compare-sums, not gathers (docs/PERF.md)
+        self._row_off = {
+            "r": np.asarray(self._comb_r.offset, np.int32),
+            "d": np.asarray(self._comb_d.offset, np.int32),
+        }
+        self._row_maxv = {
+            "r": np.asarray(self._comb_r.cdf_length - 2, np.int32),
+            "d": np.asarray(self._comb_d.cdf_length - 2, np.int32),
+        }
 
         def dec_group(st3, words, byp, lut, idx):
             b = idx.shape[0]
@@ -1033,15 +1056,175 @@ class UnitedCodec:
                 d_out += [g_da, g_dna]
         return rz, dz, r_out, d_out, r_prev, d_prev
 
+    def _device_encode_setup(self, b, zshape, group_lens):
+        """Jitted program: concat z + y groups in coding order and run the
+        on-device reverse-scan rans32 encoder for both modality streams.
+        Returns per-stream (states, wcounts, words, esc_cnt)."""
+        key = (b, zshape, tuple(group_lens))
+        cache = getattr(self, "_dev_enc_cache", {})
+        if key in cache:
+            return cache[key]
+        _rt = self._rt
+        lanes = self.LANES
+        n = self.model.N
+        zh, zw = zshape
+        z_len = zh * zw * n
+        all_lens = [z_len] + [int(g) for g in group_lens]
+        off_r, off_d = self._row_off["r"], self._row_off["d"]
+        mv_r, mv_d = self._row_maxv["r"], self._row_maxv["d"]
+        wcap = self.WMAX
+
+        def small_take(table_np, idx):
+            # 256-entry lookup as compare-sums: gathers are element-bound
+            # on this TPU (~10 ns/elem); 256 fused scalar compares are ~ms
+            out = jnp.zeros(idx.shape, jnp.int32)
+            for j, tv in enumerate(table_np):
+                out = out + jnp.where(idx == j, jnp.int32(tv), 0)
+            return out
+
+        def one(z_sym, groups, enc_lut, off_np, mv_np):
+            z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
+            zi = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
+            ).reshape(b, -1)
+            sym = jnp.concatenate(
+                [z16] + [g[0].reshape(b, -1) for g in groups], axis=1
+            )
+            idx = jnp.concatenate(
+                [zi] + [g[1].reshape(b, -1).astype(jnp.int32) for g in groups],
+                axis=1,
+            )
+            value = sym.astype(jnp.int32) - small_take(off_np, idx)
+            esc = (value < 0) | (value >= small_take(mv_np, idx))
+            esc_cnt = jnp.sum(esc, axis=1, dtype=jnp.int32)
+            states, wcounts, words = _rt.encode_groups(
+                sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap
+            )
+            return states, wcounts, words, esc_cnt
+
+        def run(rz, dz, r_groups, d_groups, lut_r, lut_d):
+            return (
+                one(rz, r_groups, lut_r, off_r, mv_r),
+                one(dz, d_groups, lut_d, off_d, mv_d),
+            )
+
+        jrun = jax.jit(run)
+        fn = lambda rz, dz, rg, dg: jrun(
+            rz, dz, rg, dg, self._enc_lut_r, self._enc_lut_d
+        )
+        cache[key] = (fn, all_lens)
+        self._dev_enc_cache = cache
+        return fn, all_lens
+
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
-        per image; on-device-decodable).  Drives the SAME fused executables
-        decompress_lanes runs, with is_decode=False (bit-exact closure)."""
+        per image).  Default path: fully ON-DEVICE encoding — the fused
+        flow leaves the wire tensors on the chip, the reverse-scan rans32
+        encoder (coder/rans_tpu.py encode_groups) produces the per-lane
+        word streams there, and only ~stream-sized bytes cross the link.
+        Escape symbols (absent under the serving sigma floor) divert to a
+        host nibble-assembly slow path.
+
+        Default is the HOST C-encoder path (RGBDC_DEVICE_ENCODE=0): on the
+        tunneled single-chip dev setup the encoder scan's device time
+        (which serializes with the decoder on one chip) slightly exceeds
+        what the smaller pull saves (5.9 vs 6.6 img/s measured).  On a
+        real TPU host — fast PCIe, scarce host CPU — the device path keeps
+        the host out of the hot loop entirely; set RGBDC_DEVICE_ENCODE=1
+        there."""
         self._lane_setup()
         v = self.variables
         rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
         b = rgb.shape[0]
         zst3, zw, zb = self._dummy_lane_inputs(b)
+        if os.environ.get("RGBDC_DEVICE_ENCODE", "0") != "1":
+            return self._compress_lanes_host(
+                v, rgb_y, depth_y, rz_sym, dz_sym, b, zst3, zw, zb
+            )
+
+        rz2, dz2, r_groups, d_groups, r_prev, d_prev = self._fused_flow(
+            v, rgb_y, depth_y, rz_sym, dz_sym,
+            zst3, zw, zb, zst3, zw, zb, jnp.asarray(False),
+        )
+        r_y_hat = jnp.concatenate(r_prev, axis=-1)
+        d_y_hat = jnp.concatenate(d_prev, axis=-1)
+        y_lens = [int(np.prod(g[0].shape[1:])) for g in r_groups]
+        zshape = (int(rz_sym.shape[1]), int(rz_sym.shape[2]))
+        enc_fn, all_lens = self._device_encode_setup(b, zshape, y_lens)
+        (rs, rwc, rwords, resc), (ds, dwc, dwords, desc_) = enc_fn(
+            rz2, dz2, r_groups, d_groups
+        )
+        _start_host_copy((rs, rwc, resc, ds, dwc, desc_))
+        rs, rwc, resc, ds, dwc, desc_ = jax.device_get(
+            (rs, rwc, resc, ds, dwc, desc_)
+        )
+        wmax_used = int(max(rwc.max(), dwc.max()))
+        if wmax_used > self.WMAX:
+            raise ValueError(
+                f"device encoder needs {wmax_used} words/lane > "
+                f"RGBDC_WMAX={self.WMAX}; raise the env var"
+            )
+        wb = min(-(-max(wmax_used, 1) // self.WORD_BUCKET) * self.WORD_BUCKET,
+                 self.WMAX)
+        slicer = getattr(self, "_word_slicers", {})
+        if wb not in slicer:
+            slicer[wb] = jax.jit(lambda w, _wb=wb: w[:, :, :_wb])
+            self._word_slicers = slicer
+        rwords_h, dwords_h = jax.device_get(
+            (slicer[wb](rwords), slicer[wb](dwords))
+        )
+
+        r_esc_info = d_esc_info = None
+        if int(resc.sum()) or int(desc_.sum()):
+            # rare: true escapes — pull the exact symbols and build the
+            # per-lane bypass nibble streams on the host
+            from ..coder.rans_tpu import escape_chunks
+
+            r_sym, r_idx = jax.device_get(_pack_groups(list(r_groups)))
+            d_sym, d_idx = jax.device_get(_pack_groups(list(d_groups)))
+            rz_h, dz_h = jax.device_get((rz2, dz2))
+            zi = (eb_channel_indexes(rz_h.shape) + 64).astype(np.uint8)
+
+            def full(zh_, ys, yi, i):
+                z16 = np.clip(zh_[i], -32768, 32767).astype(np.int16).reshape(-1)
+                return (np.concatenate([z16, ys[i]]),
+                        np.concatenate([zi[i].reshape(-1), yi[i]]))
+
+            r_esc_info = [
+                escape_chunks(*full(rz_h, r_sym, r_idx, i), self._comb_r)
+                for i in range(b)
+            ]
+            d_esc_info = [
+                escape_chunks(*full(dz_h, d_sym, d_idx, i), self._comb_d)
+                for i in range(b)
+            ]
+
+        def asm(states, wc, words, esc_info):
+            from ..coder.rans import assemble_lanes_container, build_nibble_streams
+
+            def one(i):
+                nibs = (
+                    build_nibble_streams(esc_info[i], all_lens, self.LANES)
+                    if esc_info is not None
+                    else [[] for _ in range(self.LANES)]
+                )
+                return assemble_lanes_container(states[i], wc[i], words[i], nibs)
+
+            return _tmap(one, b)
+
+        r_streams = asm(rs, rwc, rwords_h, r_esc_info)
+        d_streams = asm(ds, dwc, dwords_h, d_esc_info)
+        return {
+            "r_streams": r_streams,
+            "d_streams": d_streams,
+            "shape": zshape,
+            "y_hat": {"r": r_y_hat, "d": d_y_hat},
+        }
+
+    def _compress_lanes_host(self, v, rgb_y, depth_y, rz_sym, dz_sym,
+                             b, zst3, zw, zb):
+        """Host C-encoder path (RGBDC_DEVICE_ENCODE=0): per-slice packed i8
+        pulls + threaded lanes_encode."""
         rz_sym, dz_sym, r_chunks, d_chunks, r_prev, d_prev = self._fused_flow(
             v, rgb_y, depth_y, rz_sym, dz_sym,
             zst3, zw, zb, zst3, zw, zb, jnp.asarray(False), pack=True,
@@ -1067,8 +1250,7 @@ class UnitedCodec:
         r_pulled = widen(r_pulled, r_chunks)
         d_pulled = widen(d_pulled, d_chunks)
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
-        # group lens per slice chunk: [anchor, nonanchor] from the packed
-        # buffer split (both have the same flat length per slice)
+
         def lens_of(chunks):
             return [c[0].shape[1] // 2 for c in chunks for _ in (0, 1)]
 

@@ -285,7 +285,9 @@ class HyperpriorCodec:
         self.model = model
         self.variables = variables
         self.tables = tables if tables is not None else CodecTables.build(variables)
-        st = jnp.asarray(self.tables.scale_table, dtype=jnp.float32)
+        # numpy (STATIC) so build_indexes can unroll its compare-sum;
+        # 63 floats inline into the HLO as constants
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
         mt = type(model)
         self._encode_front = jax.jit(
             lambda v, x: model.apply(v, x, method=mt.encode_front)

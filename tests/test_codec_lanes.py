@@ -110,3 +110,34 @@ class TestPackGroupsI8:
         np.testing.assert_array_equal(
             np.asarray(s8).astype(np.int16), np.asarray(sym)
         )
+
+
+class TestDeviceEncodePath:
+    def test_roundtrip_bit_exact(self, monkeypatch):
+        """compress_lanes with the ON-DEVICE encoder must produce streams
+        the fused decoder reproduces bit-exactly (incl. the escape slow
+        path — the un-floored tiny model escapes freely)."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        codec = UnitedCodec(model, v)
+        rng = np.random.default_rng(5)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+        out = codec.compress_lanes(rgb, depth)
+        dec = codec.decompress_lanes(out["r_streams"], out["d_streams"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )

@@ -177,3 +177,25 @@ class TestScaleBoundKnob:
         # explicit argument wins over the env
         explicit = np.asarray(build_indexes(scales, st, scale_bound=0.11))
         assert np.array_equal(explicit, base)
+
+
+class TestBuildIndexesEquivalence:
+    def test_matches_searchsorted_semantics(self):
+        """The unrolled compare-sum must be bit-identical to
+        jnp.searchsorted(side='left') incl. exact-tie entries."""
+        import numpy as np
+
+        from rgbdc_tpu.entropy import get_scale_table
+        from rgbdc_tpu.entropy.gaussian import SCALE_BOUND, build_indexes
+
+        st = get_scale_table()
+        rng = np.random.default_rng(0)
+        scales = np.concatenate([
+            rng.uniform(0.0, 300.0, 5000).astype(np.float32),
+            st[:-1].astype(np.float32),          # exact table entries (ties)
+            np.asarray([0.0, SCALE_BOUND, 1e9], np.float32),
+        ])
+        got = np.asarray(build_indexes(jnp.asarray(scales), st))
+        clamped = np.maximum(scales, SCALE_BOUND)
+        want = np.searchsorted(st[:-1].astype(np.float32), clamped, side="left")
+        np.testing.assert_array_equal(got, want.astype(np.uint8))

@@ -183,3 +183,61 @@ class TestLutDecoder:
             out[lut] = np.concatenate(got).astype(np.int16)
         assert np.array_equal(out[True], sym)
         assert np.array_equal(out[True], out[False])
+
+
+class TestDeviceEncoder:
+    """On-device reverse-scan encoder: its containers must decode exactly
+    with BOTH the C mirror and the JAX lockstep decoder."""
+
+    @pytest.mark.parametrize("lanes", [4, 32, 128])
+    def test_roundtrip_vs_both_decoders(self, lanes):
+        rng = np.random.default_rng(lanes)
+        group_lens = [700, 1, 353, 64]
+        sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.04)
+        got = self._device_encode_decode(sym, idx, group_lens, lanes)
+        assert np.array_equal(got, sym)
+
+    def test_all_escapes(self):
+        rng = np.random.default_rng(7)
+        n = 300
+        idx = np.zeros(n, np.uint8)
+        sym = rng.integers(-30000, 30000, n).astype(np.int16)
+        got = self._device_encode_decode(sym, idx, [n], 8)
+        assert np.array_equal(got, sym)
+
+    def test_no_escape_fast_path(self):
+        rng = np.random.default_rng(9)
+        n = 4096
+        idx = rng.integers(40, 64, n).astype(np.uint8)
+        sym = rng.integers(-3, 4, n).astype(np.int16)
+        got = self._device_encode_decode(sym, idx, [n // 2, n // 2], 64)
+        assert np.array_equal(got, sym)
+
+    @staticmethod
+    def _device_encode_decode(sym, idx, group_lens, lanes):
+        from rgbdc_tpu.coder.rans import (
+            assemble_lanes_container,
+            build_nibble_streams,
+            lanes_decode,
+        )
+
+        enc_lut = jnp.asarray(rt.build_enc_lut(TABLE))
+        states, wcounts, words = rt.encode_groups(
+            jnp.asarray(sym.reshape(1, -1)),
+            jnp.asarray(idx.reshape(1, -1)),
+            enc_lut,
+            lanes=lanes,
+            group_lens=group_lens,
+            wcap=4096,
+        )
+        esc = rt.escape_chunks(sym, idx, TABLE)
+        nibs = build_nibble_streams(esc, group_lens, lanes)
+        data = assemble_lanes_container(
+            np.asarray(states[0]), np.asarray(wcounts[0]), np.asarray(words[0]), nibs
+        )
+        # C mirror decode
+        got_c = lanes_decode(data, idx, group_lens, TABLE, lanes=lanes)
+        # JAX decoder too
+        got_j, _ = _jax_decode(data, idx, group_lens, lanes)
+        assert np.array_equal(got_c, got_j)
+        return got_c
