@@ -87,9 +87,10 @@ class TestPackGroupsI8:
 
         sym = jnp.asarray([[5, -200, 127, -127, 300, 0]], jnp.int16)
         idx = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
-        s8, i8, ovf = _pack_groups_i8([(sym, idx)])
+        s8, ovf, diff = _pack_groups_i8([(sym, idx)], 3)
         assert int(ovf[0]) == 2  # -200 and 300 exceed int8
-        assert s8.dtype == jnp.int8 and i8.dtype == jnp.uint8
+        assert int(diff[0]) == 5  # only one index equals the mode row 3
+        assert s8.dtype == jnp.int8
         # in-range symbols survive exactly; the exact path is the fallback
         np.testing.assert_array_equal(
             np.asarray(s8[0, [0, 2, 3, 5]]), [5, 127, -127, 0]
@@ -104,9 +105,10 @@ class TestPackGroupsI8:
 
         rng = np.random.default_rng(0)
         sym = jnp.asarray(rng.integers(-127, 128, (2, 64)), jnp.int16)
-        idx = jnp.asarray(rng.integers(0, 64, (2, 64)), jnp.int32)
-        s8, _, ovf = _pack_groups_i8([(sym, idx)])
+        idx = jnp.asarray(np.full((2, 64), 41), jnp.int32)
+        s8, ovf, diff = _pack_groups_i8([(sym, idx)], 41)
         assert int(np.asarray(ovf).max()) == 0
+        assert int(np.asarray(diff).max()) == 0
         np.testing.assert_array_equal(
             np.asarray(s8).astype(np.int16), np.asarray(sym)
         )
