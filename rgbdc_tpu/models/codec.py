@@ -101,22 +101,38 @@ def _pack_groups(groups):
 
 @partial(jax.jit, static_argnums=(1,))
 def _pack_groups_i8(groups, mode_idx: int = -1):
-    """i8 variant of _pack_groups: symbols cross as int8, and the index
-    tensor does not cross AT ALL when every index equals the static
-    ``mode_idx`` (under the serving sigma floor every predicted sigma
-    clamps to the floor row, so the u8 index stream is pure redundancy —
-    measured 100% on the bench model, docs/PERF.md).  Returns (sym8,
-    overflow count, index-mismatch count) per image; nonzero counts make
-    the caller fall back to the exact i16/idx pull."""
+    """Compact pull variant of _pack_groups: three 5-bit symbols pack into
+    each u16 (0.67 B/symbol), and the index tensor does not cross AT ALL
+    when every index equals the static ``mode_idx`` (under the serving
+    sigma floor every predicted sigma clamps to the floor row, so the u8
+    index stream is pure redundancy — measured 100% on the bench model,
+    docs/PERF.md).  Returns (packed u16, overflow count, index-mismatch
+    count) per image; nonzero counts make the caller fall back to the
+    exact i16/idx pull (symbols out of [-15, 15] are rare: measured max
+    |residual| is 9)."""
     b = groups[0][0].shape[0]
     sym = jnp.concatenate([s.reshape(b, -1) for s, _ in groups], axis=1)
     idx = jnp.concatenate(
         [i.reshape(b, -1).astype(jnp.int32) for _, i in groups], axis=1
     )
-    big = (sym < -127) | (sym > 127)
-    sym8 = jnp.clip(sym, -127, 127).astype(jnp.int8)
+    big = (sym < -15) | (sym > 15)
     diff = jnp.sum(idx != mode_idx, axis=1, dtype=jnp.int32)
-    return sym8, jnp.sum(big, axis=1, dtype=jnp.int32), diff
+    t = sym.shape[1]
+    pad = (-t) % 3
+    u5 = (jnp.clip(sym, -15, 15).astype(jnp.int32) + 16).astype(jnp.uint16)
+    u5 = jnp.pad(u5, ((0, 0), (0, pad))).reshape(b, -1, 3)
+    packed = u5[:, :, 0] | (u5[:, :, 1] << 5) | (u5[:, :, 2] << 10)
+    return packed, jnp.sum(big, axis=1, dtype=jnp.int32), diff
+
+
+def _unpack_sym5(packed: np.ndarray, t: int) -> np.ndarray:
+    """Host mirror of the 3-per-u16 5-bit packing -> int16 symbols."""
+    p = np.asarray(packed)
+    out = np.empty((p.shape[0], p.shape[1] * 3), np.int16)
+    out[:, 0::3] = (p & 31).astype(np.int16) - 16
+    out[:, 1::3] = ((p >> 5) & 31).astype(np.int16) - 16
+    out[:, 2::3] = ((p >> 10) & 31).astype(np.int16) - 16
+    return out[:, :t]
 
 
 class ElicCodec:
@@ -857,8 +873,10 @@ class UnitedCodec:
     # (raise, suggesting the env var)
     WMAX = int(os.environ.get("RGBDC_WMAX", "5120"))
     BMAX = int(os.environ.get("RGBDC_BMAX", "2048"))
-    # upload widths are bucketed so repeat batches reuse the pad program
-    WORD_BUCKET = 512
+    # upload widths are bucketed so repeat batches reuse the pad program;
+    # 128 keeps padding waste <=12% at typical stream sizes (the pad to
+    # WMAX happens on DEVICE, so the bucket only sizes the h2d transfer)
+    WORD_BUCKET = 128
 
     def _lane_setup(self):
         if getattr(self, "_lane_ready", False):
@@ -1251,15 +1269,14 @@ class UnitedCodec:
         mode = self._floor_row
 
         def widen(pulled, chunks):
-            """i8 -> i16 and constant-mode idx reconstruction host-side;
+            """5-bit unpack and constant-mode idx reconstruction host-side;
             exact re-pull on (rare) symbol overflow / index mismatch."""
             out = []
-            for (sym8, ovf, diff), (_, groups) in zip(pulled, chunks):
+            for (packed, ovf, diff), (_, groups) in zip(pulled, chunks):
                 if int(ovf.max()) == 0 and int(diff.max()) == 0:
-                    out.append(
-                        (sym8.astype(np.int16),
-                         np.full(sym8.shape, mode, np.uint8))
-                    )
+                    t = sum(int(np.prod(g.shape[1:])) for g, _ in groups)
+                    sym = _unpack_sym5(packed, t)
+                    out.append((sym, np.full(sym.shape, mode, np.uint8)))
                 else:
                     out.append(jax.device_get(_pack_groups(list(groups))))
             return out

@@ -79,39 +79,34 @@ class TestLaneCodec:
         assert lane_bytes <= compat_bytes * 1.02 + overhead * 1.5
 
 
-class TestPackGroupsI8:
-    def test_overflow_detection_and_clip(self):
+class TestPackGroupsCompact:
+    def test_overflow_detection(self):
         import jax.numpy as jnp
 
         from rgbdc_tpu.models.codec import _pack_groups, _pack_groups_i8
 
-        sym = jnp.asarray([[5, -200, 127, -127, 300, 0]], jnp.int16)
+        sym = jnp.asarray([[5, -200, 15, -15, 300, 0]], jnp.int16)
         idx = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
-        s8, ovf, diff = _pack_groups_i8([(sym, idx)], 3)
-        assert int(ovf[0]) == 2  # -200 and 300 exceed int8
+        packed, ovf, diff = _pack_groups_i8([(sym, idx)], 3)
+        assert int(ovf[0]) == 2  # -200 and 300 exceed the 5-bit range
         assert int(diff[0]) == 5  # only one index equals the mode row 3
-        assert s8.dtype == jnp.int8
-        # in-range symbols survive exactly; the exact path is the fallback
-        np.testing.assert_array_equal(
-            np.asarray(s8[0, [0, 2, 3, 5]]), [5, 127, -127, 0]
-        )
         s16, i16 = _pack_groups([(sym, idx)])
         np.testing.assert_array_equal(np.asarray(s16), np.asarray(sym))
 
-    def test_no_overflow_roundtrips_through_int8(self):
+    def test_no_overflow_roundtrips_through_5bit(self):
         import jax.numpy as jnp
 
-        from rgbdc_tpu.models.codec import _pack_groups_i8
+        from rgbdc_tpu.models.codec import _pack_groups_i8, _unpack_sym5
 
         rng = np.random.default_rng(0)
-        sym = jnp.asarray(rng.integers(-127, 128, (2, 64)), jnp.int16)
-        idx = jnp.asarray(np.full((2, 64), 41), jnp.int32)
-        s8, ovf, diff = _pack_groups_i8([(sym, idx)], 41)
-        assert int(np.asarray(ovf).max()) == 0
-        assert int(np.asarray(diff).max()) == 0
-        np.testing.assert_array_equal(
-            np.asarray(s8).astype(np.int16), np.asarray(sym)
-        )
+        for n in (63, 64, 65):  # pad remainders 0/2/1
+            sym = jnp.asarray(rng.integers(-15, 16, (2, n)), jnp.int16)
+            idx = jnp.asarray(np.full((2, n), 41), jnp.int32)
+            packed, ovf, diff = _pack_groups_i8([(sym, idx)], 41)
+            assert int(np.asarray(ovf).max()) == 0
+            assert int(np.asarray(diff).max()) == 0
+            got = _unpack_sym5(np.asarray(packed), n)
+            np.testing.assert_array_equal(got, np.asarray(sym))
 
 
 class TestDeviceEncodePath:
