@@ -369,12 +369,16 @@ def escape_chunks(sym: np.ndarray, idx: np.ndarray, table: CdfTable):
         n_byp = 0
         while (raw >> (n_byp * 4)) != 0:
             n_byp += 1
-        nibs = []
-        c = n_byp
-        while c >= 15:
-            nibs.append(15)
-            c -= 15
-        nibs.append(c)
+        # The JAX decoder (_decode_row e_body) reads the FIRST nibble as the
+        # full count — it does not follow the C coder's 15-continuation
+        # chains.  int16 wire symbols bound raw < 2^18 so n_byp <= 5 always;
+        # fail loudly rather than desync if a table/offset combination ever
+        # violates that invariant.
+        assert n_byp < 15, (
+            f"escape raw value {raw:#x} needs {n_byp} bypass nibbles >= 15: "
+            "count chain unsupported by the on-device decoder"
+        )
+        nibs = [n_byp]
         for j in range(n_byp):
             nibs.append((raw >> (4 * j)) & 0xF)
         out.append((int(i), nibs))

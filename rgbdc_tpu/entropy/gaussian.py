@@ -98,6 +98,11 @@ def build_indexes(
     if scale_bound is None:
         scale_bound = float(os.environ.get("RGBDC_SCALE_BOUND", SCALE_BOUND))
     scales = jnp.maximum(scales, scale_bound)
+    # NaN folds to the bound (jnp.maximum propagates NaN; `NaN > t` is False
+    # so a NaN would otherwise pick row 0, the NARROWEST row — the worst
+    # case for escapes).  searchsorted used to map NaN to the widest row;
+    # the bound row is the safe equivalent under the unrolled compares.
+    scales = jnp.where(jnp.isnan(scales), scale_bound, scales)
     # Unrolled scalar-compare accumulation instead of jnp.searchsorted:
     # searchsorted lowers to a while-loop of gathers on TPU and burned
     # ~94 ms PER STAGE CALL at codec shapes (the single largest op in the

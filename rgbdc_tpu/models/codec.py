@@ -862,12 +862,52 @@ class UnitedCodec:
     # executable: the decoder pads its uploaded words on-device; the encoder
     # passes a cached zero matrix (its cond branch never reads it).
     #
-    # Rate trade-off vs the compat format: 8 bytes/lane of container
-    # overhead per stream (state+count headers); at the default 128 lanes
-    # that is 1 KB/stream.  The tester keeps the compat format for
-    # reference bpp parity; this path is the serving/throughput format.
+    # Rate trade-off vs the compat format: 12 bytes/lane of container
+    # overhead per stream (state + word-count + nibble-count headers, v2
+    # format) plus up to one padding u16 per lane of nibble stream; at the
+    # default 128 lanes that is ~1.5 KB/stream.  The tester keeps the
+    # compat format for reference bpp parity; this path is the
+    # serving/throughput format.
 
     LANES = int(os.environ.get("RGBDC_LANES", "128"))
+    # set by shard_serving(): NamedSharding for batch-dim-sharded arrays
+    _batch_sharding = None
+
+    def shard_serving(self, mesh) -> "UnitedCodec":
+        """Multi-chip DP serving: shard the image batch (and every wire
+        tensor) over the mesh's 'data' axis; params and decode LUTs are
+        replicated.  Each chip then runs the fused stage programs and the
+        lockstep rans scans on its own sub-batch — the chunk pipeline's
+        1:1 chunk->chip mapping (docs/ROADMAP.md), with zero cross-chip
+        collectives in the codec itself (entropy coding is per-image).
+
+        Must be called before the first compress/decompress so the fused
+        executables compile against the sharded layouts.  The bit-exact
+        enc/dec closure is preserved: both directions run the SAME sharded
+        executables.  Batch size must be a multiple of the mesh size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._mesh = mesh
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self._replicated = NamedSharding(mesh, P())
+        self.variables = jax.device_put(self.variables, self._replicated)
+        if getattr(self, "_lane_ready", False):
+            # re-place the LUTs if lane setup already ran unsharded
+            for name in ("_lut_r", "_lut_d", "_enc_lut_r", "_enc_lut_d"):
+                setattr(
+                    self, name, jax.device_put(getattr(self, name), self._replicated)
+                )
+            self._dummy_cache = None
+        return self
+
+    def _put_batch(self, tree):
+        """device_put onto the serving mesh (batch axis sharded); identity
+        when shard_serving was not called."""
+        if self._batch_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._batch_sharding), tree
+        )
     # static words-per-lane / nibble-words-per-lane capacity of the fused
     # programs; streams longer than this cannot be decoded on-device
     # (raise, suggesting the env var)
@@ -905,12 +945,18 @@ class UnitedCodec:
         # the packed decode LUTs are ~134 MB each: they must be
         # device-resident ARGUMENTS of the jitted fns (a closure capture
         # would inline them into the HLO and re-ship them through the
-        # tunnel per compile)
-        self._lut_r = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_r)))
-        self._lut_d = jax.device_put(jnp.asarray(_rt.build_lut(self._comb_d)))
+        # tunnel per compile).  Under shard_serving they replicate onto
+        # every chip of the mesh.
+        put = (
+            (lambda x: jax.device_put(x, self._replicated))
+            if self._batch_sharding is not None
+            else jax.device_put
+        )
+        self._lut_r = put(jnp.asarray(_rt.build_lut(self._comb_r)))
+        self._lut_d = put(jnp.asarray(_rt.build_lut(self._comb_d)))
         # encode LUTs for the on-device reverse-scan encoder (64 MB each)
-        self._enc_lut_r = jax.device_put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
-        self._enc_lut_d = jax.device_put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
+        self._enc_lut_r = put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
+        self._enc_lut_d = put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
         # per-row (offset, maxv) as SMALL static tables for the escape-count
         # guard — looked up with compare-sums, not gathers (docs/PERF.md)
         self._row_off = {
@@ -1040,6 +1086,7 @@ class UnitedCodec:
         zp = jnp.zeros((b, self.LANES), jnp.int32)
         zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
         zb = jnp.zeros((b, self.LANES, self.BMAX), jnp.uint16)
+        zs, zp, zw, zb = self._put_batch((zs, zp, zw, zb))
         self._dummy_cache = (b, ((zs, zp, zp), zw, zb))
         return (zs, zp, zp), zw, zb
 
@@ -1147,22 +1194,25 @@ class UnitedCodec:
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
-        per image).  Default path: fully ON-DEVICE encoding — the fused
-        flow leaves the wire tensors on the chip, the reverse-scan rans32
-        encoder (coder/rans_tpu.py encode_groups) produces the per-lane
-        word streams there, and only ~stream-sized bytes cross the link.
-        Escape symbols (absent under the serving sigma floor) divert to a
-        host nibble-assembly slow path.
+        per image).  Default path (RGBDC_DEVICE_ENCODE=0): the fused flow
+        runs on device, the wire tensors are pulled (packed) to the host,
+        and the C rANS encoder builds the streams there.
 
-        Default is the HOST C-encoder path (RGBDC_DEVICE_ENCODE=0): on the
-        tunneled single-chip dev setup the encoder scan's device time
-        (which serializes with the decoder on one chip) slightly exceeds
-        what the smaller pull saves (5.9 vs 6.6 img/s measured).  On a
-        real TPU host — fast PCIe, scarce host CPU — the device path keeps
-        the host out of the hot loop entirely; set RGBDC_DEVICE_ENCODE=1
-        there."""
+        Opt-in path (RGBDC_DEVICE_ENCODE=1): fully ON-DEVICE encoding —
+        the fused flow leaves the wire tensors on the chip, the
+        reverse-scan rans32 encoder (coder/rans_tpu.py encode_groups)
+        produces the per-lane word streams there, and only ~stream-sized
+        bytes cross the link.  Escape symbols (absent under the serving
+        sigma floor) divert to a host nibble-assembly slow path.  Host
+        stays the default on the tunneled single-chip dev setup because
+        the encoder scan's device time serializes with the decoder there
+        and slightly exceeds what the smaller pull saves (5.9 vs 6.6
+        img/s measured); on a real TPU host — fast PCIe, scarce host
+        CPU — the device path keeps the host out of the hot loop
+        entirely."""
         self._lane_setup()
         v = self.variables
+        rgb, depth = self._put_batch((rgb, depth))
         rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
         b = rgb.shape[0]
         zst3, zw, zb = self._dummy_lane_inputs(b)
@@ -1267,18 +1317,26 @@ class UnitedCodec:
         )
 
         mode = self._floor_row
+        self.last_fallback_slices = 0
+        self.last_fast_slices = 0
 
         def widen(pulled, chunks):
             """5-bit unpack and constant-mode idx reconstruction host-side;
-            exact re-pull on (rare) symbol overflow / index mismatch."""
+            exact re-pull on symbol overflow / index mismatch (the normal
+            case for a TRAINED codec with live sigma predictions — the
+            compact path fires when the serving sigma floor clamps every
+            index to one row).  The counters let tests and bench assert
+            which path actually ran."""
             out = []
             for (packed, ovf, diff), (_, groups) in zip(pulled, chunks):
                 if int(ovf.max()) == 0 and int(diff.max()) == 0:
                     t = sum(int(np.prod(g.shape[1:])) for g, _ in groups)
                     sym = _unpack_sym5(packed, t)
                     out.append((sym, np.full(sym.shape, mode, np.uint8)))
+                    self.last_fast_slices += 1
                 else:
                     out.append(jax.device_get(_pack_groups(list(groups))))
+                    self.last_fallback_slices += 1
             return out
 
         r_pulled = widen(r_pulled, r_chunks)
@@ -1286,9 +1344,14 @@ class UnitedCodec:
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
 
         def lens_of(chunks):
-            return [c[0].shape[1] // 2 for c in chunks for _ in (0, 1)]
+            # real per-group symbol counts from the chunk's group tensors —
+            # do NOT infer as packed_width // 2: that silently assumes the
+            # anchor and nonanchor groups are exactly equal size
+            return [
+                int(np.prod(g.shape[1:])) for _, groups in chunks for g, _ in groups
+            ]
 
-        r_lens, d_lens = lens_of(r_pulled), lens_of(d_pulled)
+        r_lens, d_lens = lens_of(r_chunks), lens_of(d_chunks)
 
         def build_stream(n_img, z_sym, chunks, lens, table):
             z = np.clip(z_sym[n_img], -32768, 32767).astype(np.int16).reshape(-1)
@@ -1330,9 +1393,9 @@ class UnitedCodec:
                 [np.pad(s[k], ((0, 0), (0, w - s[k].shape[1]))) for s in split]
             )
             # upload the bucketed width; pad to the static cap on DEVICE
-            return self._pad_to[cap](jnp.asarray(arr))
+            return self._pad_to[cap](self._put_batch(jnp.asarray(arr)))
 
-        states = jnp.asarray(np.stack([s[0] for s in split]))
+        states = self._put_batch(jnp.asarray(np.stack([s[0] for s in split])))
         return (
             states,
             stack(1, self.WMAX, "RGBDC_WMAX"),
