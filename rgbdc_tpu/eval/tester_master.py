@@ -13,7 +13,9 @@ size, so the reported rate is what a decoder actually needs.  Constant skew
 vs the reference's nominal accounting: +128 B/image = +0.0033 bpp at
 640x480.  f16 rounding of beta/gamma only perturbs the reconstruction
 conditioning (synthesize_master); entropy decode never reads them, so
-stream sync is unaffected."""
+stream sync is unaffected.  For apples-to-apples RD comparison the tester
+ALSO emits ``bpp_ref`` — the reference's own accounting (payload minus the
+serialized side info, plus the nominal +128 B)."""
 
 from __future__ import annotations
 
@@ -75,7 +77,10 @@ class TesterMaster(Tester):
 
     def test_model(self, padding_mode="replicate0", padding=True):
         ds = ImageFolderUnited(self.args.dataset_path, debug=self.debug)
-        keys = ("psnr", "msssim", "bpp", "aux_psnr", "aux_bpp", "enc_t", "dec_t")
+        keys = (
+            "psnr", "msssim", "bpp", "bpp_ref", "aux_psnr", "aux_bpp",
+            "enc_t", "dec_t",
+        )
         meters = {k: AverageMeter() for k in keys}
         for i in range(len(ds)):
             rgb, depth, rname, _ = ds[i]
@@ -124,14 +129,19 @@ class TesterMaster(Tester):
             dec_t = time.time() - t0
 
             bpp = path.stat().st_size * 8 / (h * w)
+            # bpp_ref: the reference's accounting for apples-to-apples RD
+            # comparison — payload without the 256 serialized side-info
+            # bytes, plus its NOMINAL +128 B charge (tester_master.py:126)
+            bpp_ref = (path.stat().st_size - 256 + 128) * 8 / (h * w)
             aux_bpp = apath.stat().st_size * 8 / (h * w)
             p, m = compute_metrics(x, x_hat)
             aux_p, _ = compute_metrics(aux, crop_to(aux_hat, (h, w), padding_mode))
-            for k, v in zip(keys, (p, m, bpp, aux_p, aux_bpp, enc_t, dec_t)):
+            for k, v in zip(keys, (p, m, bpp, bpp_ref, aux_p, aux_bpp, enc_t, dec_t)):
                 meters[k].update(v)
             _save_png(np.asarray(x_hat)[0], self.rec_dir / f"{rname}_master.png")
             self.logger.info(
-                f"{rname}: bpp={bpp:.4f} psnr={p:.3f} aux_bpp={aux_bpp:.4f} "
+                f"{rname}: bpp={bpp:.4f} bpp_ref={bpp_ref:.4f} psnr={p:.3f} "
+                f"aux_bpp={aux_bpp:.4f} "
                 f"aux_psnr={aux_p:.3f} enc={enc_t:.3f}s dec={dec_t:.3f}s"
             )
         self.logger.info(
