@@ -89,16 +89,46 @@ class TestBenchClassical:
         monkeypatch.setattr(_sh, "which", lambda name: f"/usr/bin/{name}")
         monkeypatch.setenv("HM_CFG", "/cfg/encoder_intra_main_rext.cfg")
         hm = HMCodec(32)
-        cmd = [str(c) for c in hm._encode_cmd("in.yuv", "out.bin", 64, 48)]
+        cmd = [str(c) for c in hm._encode_cmd("in.yuv", "out.bin", 64, 48, "444", 8)]
         assert "--SEIDecodedPictureHash" in cmd and "--Level=5.1" in cmd
         assert cmd[cmd.index("-q") + 1] == "32"
         assert cmd[cmd.index("-wdt") + 1] == "64"
 
         av1 = AV1Codec(40)
-        cmd = [str(c) for c in av1._encode_cmd("in.yuv", "out.webm", 64, 48)]
+        cmd = [str(c) for c in av1._encode_cmd("in.yuv", "out.webm", 64, 48, "444", 8)]
         assert "--cq-level=40" in cmd and "--i444" in cmd and "--passes=2" in cmd
-        dcmd = [str(c) for c in av1._decode_cmd("out.webm", "rec.yuv")]
+        dcmd = [str(c) for c in av1._decode_cmd("out.webm", "rec.yuv", 8)]
         assert "--rawvideo" in dcmd
+
+    def test_depth_modal_command_lines(self, monkeypatch):
+        """RGB-D variant (reference VTM_codecs.py:410-537): depth codes as
+        monochrome 4:0:0, at 8 (reference parity) or 16 bit."""
+        import shutil as _sh
+
+        from rgbdc_tpu.cli.bench_classical import HMCodec, VTMCodec
+
+        monkeypatch.setattr(_sh, "which", lambda name: f"/usr/bin/{name}")
+        monkeypatch.setenv("HM_CFG", "/cfg/encoder_intra_main_rext.cfg")
+        monkeypatch.setenv("VTM_CFG_DIR", "/cfg")
+        vtm = VTMCodec(32, bitdepth=16)
+        cmd = [str(c) for c in vtm._encode_cmd("in.yuv", "o.bin", 640, 480, "400", 16)]
+        assert "--InputChromaFormat=400" in cmd and "--InputBitDepth=16" in cmd
+        dcmd = [str(c) for c in vtm._decode_cmd("o.bin", "rec.yuv", 16)]
+        assert dcmd[dcmd.index("-d") + 1] == "16"
+
+        hm = HMCodec(32, bitdepth=16)
+        cmd = [str(c) for c in hm._encode_cmd("in.yuv", "o.bin", 640, 480, "400", 16)]
+        assert "--Profile=monochrome16" in cmd and "--InputBitDepth=16" in cmd
+
+    def test_depth_modal_pil_bench(self, image_root):
+        """--modal depth drives the {root}/depth folder end-to-end through
+        the PIL path (8-bit L, reference depth_8bit protocol)."""
+        from rgbdc_tpu.cli.bench_classical import main
+
+        res = main(["jpeg", "-d", str(image_root), "-q", "50", "--modal", "depth"])
+        assert res["modal"] == "depth"
+        assert np.isfinite(res["results"]["psnr"][0])
+        assert res["results"]["bpp"][0] > 0
 
 
 class TestPlot:
