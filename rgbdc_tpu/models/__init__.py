@@ -8,7 +8,11 @@ import dataclasses
 
 from .elic import ELIC
 from .elic_united import ELICUnited, ELICUnitedR2D
-from .cheng_ckbd import Cheng2020AnchorCheckerboard
+from .cheng_ckbd import (
+    Cheng2020Anchor,
+    Cheng2020AnchorCheckerboard,
+    Cheng2020Attention,
+)
 from .stf import SymmetricalTransFormer
 from .stf_united import STFUnited
 from .elic_master import ELICMaster
@@ -57,7 +61,9 @@ __all__ = [
     "ELIC",
     "ELICUnited",
     "ELICUnitedR2D",
+    "Cheng2020Anchor",
     "Cheng2020AnchorCheckerboard",
+    "Cheng2020Attention",
     "SymmetricalTransFormer",
     "STFUnited",
     "ELICMaster",

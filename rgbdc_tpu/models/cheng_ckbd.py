@@ -26,11 +26,13 @@ import numpy as np
 
 from ..entropy import EntropyBottleneck, build_indexes, gaussian_forward
 from ..nn import (
+    AttentionBlock,
     ResidualBlock,
     ResidualBlockUpsample,
     ResidualBlockWithStride,
     conv3x3,
 )
+from .priors import JointAutoregressiveHierarchicalPriors, MaskedConv2D
 from ..nn.layers import SubpelConv3x3
 from ..ops.wire import _sym16
 from ..ops import (
@@ -266,3 +268,92 @@ class Cheng2020AnchorCheckerboard(nn.Module):
 
     def synthesize(self, y_hat):
         return self.g_s(y_hat)
+
+
+# -- Cheng2020 with the SERIAL masked-conv AR context -------------------------
+#
+# The reference keeps the plain (non-checkerboard) Cheng2020 pair in its
+# vendored CompressAI (models/waseda.py:22-131) without registering them in
+# its model zoo; they are provided here for the same completeness: the Cheng
+# GDN-resblock transforms over the JointAutoregressive entropy machinery
+# (M == N), driven by JointARCodec for the real pixel-serial bitstream.
+
+
+class _ChengAttnAnalysis(nn.Module):
+    """waseda.py:108-119: g_a with two AttentionBlock gates."""
+
+    N: int
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.N
+        x = ResidualBlockWithStride(n)(x)
+        x = ResidualBlock(n)(x)
+        x = ResidualBlockWithStride(n)(x)
+        x = AttentionBlock(n)(x)
+        x = ResidualBlock(n)(x)
+        x = ResidualBlockWithStride(n)(x)
+        x = ResidualBlock(n)(x)
+        x = conv3x3(n, stride=2)(x)
+        return AttentionBlock(n)(x)
+
+
+class _ChengAttnSynthesis(nn.Module):
+    """waseda.py:121-131: g_s with two AttentionBlock gates."""
+
+    N: int
+    out_ch: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.N
+        x = AttentionBlock(n)(x)
+        x = ResidualBlock(n)(x)
+        x = ResidualBlockUpsample(n)(x)
+        x = ResidualBlock(n)(x)
+        x = ResidualBlockUpsample(n)(x)
+        x = AttentionBlock(n)(x)
+        x = ResidualBlock(n)(x)
+        x = ResidualBlockUpsample(n)(x)
+        x = ResidualBlock(n)(x)
+        return SubpelConv3x3(self.out_ch, 2)(x)
+
+
+class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
+    """Cheng2020 anchor (reference waseda.py:22-89): Cheng transforms +
+    the JointAutoregressive serial context.  Construct with M == N (the
+    Cheng family has a single width); in_ch is the reference's ``channel``
+    arg.  Real codec: ``JointARCodec(model, variables)``."""
+
+    def _transforms(self):
+        return (
+            _ChengAnalysis(self.N),
+            _ChengSynthesis(self.N, out_ch=self.in_ch),
+        )
+
+    def setup(self):
+        assert self.M == self.N, "Cheng2020 requires M == N (waseda.py:37)"
+        n = self.N
+        self.g_a, self.g_s = self._transforms()
+        self.h_a = _ChengHyperAnalysis(n)
+        self.h_s = _ChengHyperSynthesis(n)
+        self.context_prediction = MaskedConv2D(2 * n, 5, "A")
+        self.entropy_parameters = nn.Sequential(
+            [
+                nn.Conv(n * 10 // 3, (1, 1)), jax.nn.leaky_relu,
+                nn.Conv(n * 8 // 3, (1, 1)), jax.nn.leaky_relu,
+                nn.Conv(n * 2, (1, 1)),
+            ]
+        )
+        self.entropy_bottleneck = EntropyBottleneck(channels=n)
+
+
+class Cheng2020Attention(Cheng2020Anchor):
+    """Cheng2020 attention variant (reference waseda.py:92-131): anchor
+    plus AttentionBlock gates in g_a/g_s."""
+
+    def _transforms(self):
+        return (
+            _ChengAttnAnalysis(self.N),
+            _ChengAttnSynthesis(self.N, out_ch=self.in_ch),
+        )

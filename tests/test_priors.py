@@ -151,3 +151,43 @@ class TestJointARCodec:
         out = codec.compress(x)
         nbytes = len(out["strings"][0][0]) + len(out["strings"][1][0])
         assert 0 < nbytes < 64 * 64 * 3  # compresses below raw
+
+
+class TestCheng2020SerialAR:
+    """The plain (non-checkerboard) Cheng2020 pair (reference
+    waseda.py:22-131): Cheng transforms over the JointAR machinery."""
+
+    @pytest.mark.parametrize("cls_name", ["Cheng2020Anchor", "Cheng2020Attention"])
+    def test_forward_and_codec_roundtrip(self, cls_name):
+        import rgbdc_tpu.models as M
+        from rgbdc_tpu.models.priors import JointARCodec
+
+        model = getattr(M, cls_name)(N=16, M=16)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x,
+            training=True,
+        )
+        out = model.apply(variables, x, training=False)
+        assert out["x_hat"].shape == x.shape
+        assert np.isfinite(float(jnp.sum(jnp.log(out["likelihoods"]["y"]))))
+
+        codec = JointARCodec(model, variables)
+        comp = codec.compress(x)
+        dec = codec.decompress(comp["strings"], comp["shape"])
+        np.testing.assert_array_equal(np.asarray(dec["y_hat"]), comp["y_hat"])
+        nbytes = len(comp["strings"][0][0]) + len(comp["strings"][1][0])
+        assert 0 < nbytes < 64 * 64 * 3
+
+    def test_m_equals_n_enforced(self):
+        import rgbdc_tpu.models as M
+
+        model = M.Cheng2020Anchor(N=16, M=32)
+        with pytest.raises(AssertionError):
+            model.init(
+                {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 64, 64, 3)),
+                training=True,
+            )
