@@ -125,6 +125,27 @@ def _pack_groups_i8(groups, mode_idx: int = -1):
     return packed, jnp.sum(big, axis=1, dtype=jnp.int32), diff
 
 
+@jax.jit
+def _pack_groups_i8_idx(groups):
+    """Live-sigma pull variant: 5-bit packed symbols PLUS the real u8 index
+    stream (1.67 B/symbol).  A trained codec's sigma predictions vary per
+    element, so the idx-skip of :func:`_pack_groups_i8` can never fire —
+    but its 5-bit symbol packing still applies (trained residuals are
+    small).  Returns (packed u16, overflow count, idx u8)."""
+    b = groups[0][0].shape[0]
+    sym = jnp.concatenate([s.reshape(b, -1) for s, _ in groups], axis=1)
+    idx = jnp.concatenate(
+        [i.reshape(b, -1).astype(jnp.uint8) for _, i in groups], axis=1
+    )
+    big = (sym < -15) | (sym > 15)
+    t = sym.shape[1]
+    pad = (-t) % 3
+    u5 = (jnp.clip(sym, -15, 15).astype(jnp.int32) + 16).astype(jnp.uint16)
+    u5 = jnp.pad(u5, ((0, 0), (0, pad))).reshape(b, -1, 3)
+    packed = u5[:, :, 0] | (u5[:, :, 1] << 5) | (u5[:, :, 2] << 10)
+    return packed, jnp.sum(big, axis=1, dtype=jnp.int32), idx
+
+
 def _unpack_sym5(packed: np.ndarray, t: int) -> np.ndarray:
     """Host mirror of the 3-per-u16 5-bit packing -> int16 symbols."""
     p = np.asarray(packed)
@@ -970,6 +991,20 @@ class UnitedCodec:
         self._floor_row = int(
             np.searchsorted(self.tables.scale_table[:-1], bound, side="left")
         )
+        # host-encode pull format: "compact" (5-bit syms, idx skipped when
+        # every index clamps to the floor row) or "sym5idx" (5-bit syms +
+        # real u8 idx stream — the right format for TRAINED models with
+        # live sigma predictions).  "auto" starts compact and self-tunes:
+        # if a compress sees the idx-mismatch fallback on every slice, the
+        # next compress switches to sym5idx.
+        self._pull_auto = True
+        self._pull_mode = os.environ.get("RGBDC_PULL", "auto")
+        if self._pull_mode not in ("auto", "compact", "sym5idx"):
+            raise ValueError(f"RGBDC_PULL={self._pull_mode}")
+        if self._pull_mode != "auto":
+            self._pull_auto = False
+        else:
+            self._pull_mode = "compact"
         self._row_maxv = {
             "r": np.asarray(self._comb_r.cdf_length - 2, np.int32),
             "d": np.asarray(self._comb_d.cdf_length - 2, np.int32),
@@ -1118,15 +1153,25 @@ class UnitedCodec:
             r_prev.append(r_hat)
             d_prev.append(d_hat)
             if pack:
-                mode = self._floor_row
-                r_out.append(
-                    (_start_host_copy(_pack_groups_i8([g_ra, g_rna], mode)),
-                     (g_ra, g_rna))
-                )
-                d_out.append(
-                    (_start_host_copy(_pack_groups_i8([g_da, g_dna], mode)),
-                     (g_da, g_dna))
-                )
+                if self._pull_mode == "sym5idx":
+                    r_out.append(
+                        (_start_host_copy(_pack_groups_i8_idx([g_ra, g_rna])),
+                         (g_ra, g_rna))
+                    )
+                    d_out.append(
+                        (_start_host_copy(_pack_groups_i8_idx([g_da, g_dna])),
+                         (g_da, g_dna))
+                    )
+                else:
+                    mode = self._floor_row
+                    r_out.append(
+                        (_start_host_copy(_pack_groups_i8([g_ra, g_rna], mode)),
+                         (g_ra, g_rna))
+                    )
+                    d_out.append(
+                        (_start_host_copy(_pack_groups_i8([g_da, g_dna], mode)),
+                         (g_da, g_dna))
+                    )
             else:
                 r_out += [g_ra, g_rna]
                 d_out += [g_da, g_dna]
@@ -1317,20 +1362,38 @@ class UnitedCodec:
         )
 
         mode = self._floor_row
+        pull_mode = self._pull_mode
         self.last_fallback_slices = 0
         self.last_fast_slices = 0
 
         def widen(pulled, chunks):
-            """5-bit unpack and constant-mode idx reconstruction host-side;
+            """Host-side widening of the packed pulls.
+
+            compact mode: 5-bit unpack + constant-mode idx reconstruction;
             exact re-pull on symbol overflow / index mismatch (the normal
             case for a TRAINED codec with live sigma predictions — the
-            compact path fires when the serving sigma floor clamps every
-            index to one row).  The counters let tests and bench assert
-            which path actually ran."""
+            compact path's idx skip fires when the serving sigma floor
+            clamps every index to one row).
+
+            sym5idx mode (live sigmas): 5-bit unpack + the REAL u8 index
+            stream pulled alongside (1.67 B/symbol instead of the 3
+            B/symbol exact fallback); exact re-pull on overflow only.
+
+            The counters let tests and bench assert which path ran."""
             out = []
-            for (packed, ovf, diff), (_, groups) in zip(pulled, chunks):
+            for entry, (_, groups) in zip(pulled, chunks):
+                t = sum(int(np.prod(g.shape[1:])) for g, _ in groups)
+                if pull_mode == "sym5idx":
+                    packed, ovf, idx = entry
+                    if int(ovf.max()) == 0:
+                        out.append((_unpack_sym5(packed, t), np.asarray(idx)))
+                        self.last_fast_slices += 1
+                    else:
+                        out.append(jax.device_get(_pack_groups(list(groups))))
+                        self.last_fallback_slices += 1
+                    continue
+                packed, ovf, diff = entry
                 if int(ovf.max()) == 0 and int(diff.max()) == 0:
-                    t = sum(int(np.prod(g.shape[1:])) for g, _ in groups)
                     sym = _unpack_sym5(packed, t)
                     out.append((sym, np.full(sym.shape, mode, np.uint8)))
                     self.last_fast_slices += 1
@@ -1341,6 +1404,16 @@ class UnitedCodec:
 
         r_pulled = widen(r_pulled, r_chunks)
         d_pulled = widen(d_pulled, d_chunks)
+        if (
+            self._pull_auto
+            and pull_mode == "compact"
+            and self.last_fallback_slices == len(r_chunks) + len(d_chunks)
+        ):
+            # every slice missed the idx skip: live sigma predictions —
+            # subsequent compresses pull sym5+idx directly (1.67 B/sym
+            # streamed async) instead of falling back to the 3 B/sym
+            # exact pull after the counts arrive
+            self._pull_mode = "sym5idx"
         z_idx = (eb_channel_indexes(rz_sym.shape) + 64).astype(np.uint8)
 
         def lens_of(chunks):

@@ -37,8 +37,20 @@ class TestLaneCodec:
         # live-index regime (default 0.11 sigma floor, untrained model):
         # sigma predictions vary per element, so the compact idx-skip pull
         # must DIVERT to the exact per-slice fallback — the path a trained
-        # codec takes in serving (VERDICT r2 weak #2)
+        # codec takes in serving (VERDICT r2 weak #2) — and the auto pull
+        # tuner must then switch the NEXT compress to the sym5+idx format
         assert self.codec.last_fallback_slices > 0
+        assert self.codec._pull_mode == "sym5idx"
+        out2 = self.codec.compress_lanes(self.rgb, self.depth)
+        # every slice took one of the two sym5idx-mode paths
+        assert (
+            self.codec.last_fast_slices + self.codec.last_fallback_slices == 4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out2["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        for s_a, s_b in zip(out2["r_streams"], out["r_streams"]):
+            assert s_a == s_b  # identical streams from either pull format
         dec = self.codec.decompress_lanes(
             out["r_streams"], out["d_streams"], out["shape"]
         )
@@ -98,6 +110,22 @@ class TestPackGroupsCompact:
         assert int(diff[0]) == 5  # only one index equals the mode row 3
         s16, i16 = _pack_groups([(sym, idx)])
         np.testing.assert_array_equal(np.asarray(s16), np.asarray(sym))
+
+    def test_sym5idx_variant_carries_real_indexes(self):
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models.codec import _pack_groups_i8_idx, _unpack_sym5
+
+        sym = jnp.asarray([[5, -9, 15, -15, 3, 0]], jnp.int16)
+        idx = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
+        packed, ovf, idx_u8 = _pack_groups_i8_idx([(sym, idx)])
+        assert int(np.asarray(ovf).max()) == 0
+        np.testing.assert_array_equal(
+            _unpack_sym5(np.asarray(packed), 6), np.asarray(sym)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx_u8), np.asarray(idx).astype(np.uint8)
+        )
 
     def test_no_overflow_roundtrips_through_5bit(self):
         import jax.numpy as jnp
