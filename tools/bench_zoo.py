@@ -1,0 +1,132 @@
+"""Zoo-wide serving throughput datapoints (VERDICT r2 weak #3): enc+dec
+throughput of each model family's codec driver on 640x480 content, one
+JSON line per model.  BASELINE.json's five configs name ELIC / ckbd / R2D /
+ELIC_united / STF_united (+ MLIC++); bench.py measures the flagship lane
+path — this harness covers the rest (compat host-serial path for the
+single-latent families, lane path for the united families).
+
+Run (real TPU):  python tools/bench_zoo.py --models ELIC ckbd MLIC STF STF_united
+Env: ZOO_BATCH (default 8), ZOO_ITERS (default 3), BENCH_CKPT ignored
+(untrained weights + serving sigma floor, like round-2 bench protocol).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("RGBDC_SCALE_BOUND", "16")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _codec_for(name, model, variables):
+    from rgbdc_tpu.models import (
+        ChannelARCodec, ElicCodec, MlicCodec, UnitedCodec,
+    )
+
+    if name in ("ELIC_united", "ELIC_united_R2D", "STF_united"):
+        return UnitedCodec(model, variables)
+    if name == "MLIC":
+        return MlicCodec(model, variables)
+    if name in ("STF",):
+        return ChannelARCodec(model, variables)
+    return ElicCodec(model, variables)
+
+
+def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
+    from rgbdc_tpu.models import build_model
+    from rgbdc_tpu.utils.config import mlic_model_config, model_config
+
+    united = name in ("ELIC_united", "ELIC_united_R2D", "STF_united")
+    cfg = mlic_model_config() if name == "MLIC" else model_config()
+    in_ch = None if united else 3
+    model = build_model(name, cfg, in_ch=in_ch)
+
+    example = (
+        (jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 256, 256, 1)))
+        if united
+        else (jnp.zeros((1, 256, 256, 3)),)
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        *example,
+        training=True,
+    )
+    codec = _codec_for(name, model, variables)
+    rgb = jnp.asarray(rgb_np)
+    depth = jnp.asarray(depth_np)
+
+    def sync(arr):
+        np.asarray(arr[:1, :1, :1, :1])
+
+    def run():
+        if united:
+            out = codec.compress_lanes(rgb, depth)
+            dec = codec.decompress_lanes(
+                out["r_streams"], out["d_streams"], out["shape"]
+            )
+            sync(dec["x_hat"]["r"])
+        else:
+            out = codec.compress(rgb)
+            dec = codec.decompress(out["strings"], out["shape"])
+            sync(dec["x_hat"])
+        return out, dec
+
+    t0 = time.time()
+    out, dec = run()  # compile + warmup
+    warm = time.time() - t0
+    if united:
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return {
+        "model": name,
+        "wire": "lanes" if united else "compat",
+        "batch": batch,
+        "img_per_s": round(batch / min(times), 3),
+        "warmup_s": round(warm, 1),
+        "times_s": [round(t, 2) for t in times],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--models", nargs="+",
+        default=["ELIC", "ckbd", "MLIC", "STF", "ELIC_united_R2D", "STF_united"],
+    )
+    ap.add_argument("--batch", type=int, default=int(os.environ.get("ZOO_BATCH", 8)))
+    ap.add_argument("--iters", type=int, default=int(os.environ.get("ZOO_ITERS", 3)))
+    args = ap.parse_args()
+
+    from rgbdc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    from bench import _bench_images
+
+    rgb_np, depth_np = _bench_images(args.batch)
+    for name in args.models:
+        try:
+            row = bench_one(name, args.batch, args.iters, rgb_np, depth_np)
+        except Exception as e:  # record the failure, keep benching the rest
+            row = {"model": name, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,15 +19,61 @@ import numpy as np
 from flax import serialization
 
 
+def fit_eb_quantiles(params, eb_names, tail_mass=1e-9, n_filters=4):
+    """Solve each entropy bottleneck's quantiles to their aux-loss fixed
+    point by bisection: logits_cumulative(q) = [-t, 0, t] with
+    t = log(2/tail_mass - 1).  The aux Adam path needs ~1e5 steps to walk
+    quantiles to convergence (it moves them ~lr per step); the calibration
+    run is far shorter, so the fixed point is computed here EXACTLY —
+    logits_cumulative is monotone in its input by construction
+    (softplus-reparameterized matrices, |tanh factors| < 1)."""
+    import math
+
+    from rgbdc_tpu.entropy.bottleneck import logits_cumulative_np
+
+    t = math.log(2.0 / tail_mass - 1.0)
+    targets = np.array([-t, 0.0, t])
+    out = dict(params)
+    for name in eb_names:
+        eb = dict(params[name])
+        c = np.asarray(eb["quantiles"]).shape[0]
+        lo = np.full((c, 1, 3), -150.0)
+        hi = np.full((c, 1, 3), 150.0)
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            val = logits_cumulative_np(eb, mid, n_filters=n_filters)
+            go_hi = val < targets[None, None, :]
+            lo = np.where(go_hi, mid, lo)
+            hi = np.where(go_hi, hi, mid)
+        q = ((lo + hi) / 2).astype(np.float32)
+        resid = np.abs(
+            logits_cumulative_np(eb, q.astype(np.float64), n_filters=n_filters)
+            - targets[None, None, :]
+        ).max()
+        print(f"{name}: quantiles fitted, max |logits-target| = {resid:.3e}, "
+              f"median range [{q[:,0,1].min():.2f}, {q[:,0,1].max():.2f}]")
+        eb["quantiles"] = q
+        out[name] = eb
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="/tmp/calib_ckpt/checkpoint_latest.msgpack")
     ap.add_argument("--out", default="calib/elic_united_q2.f16.msgpack")
+    ap.add_argument(
+        "--fit-quantiles", nargs="*",
+        default=["rgb_entropy_bottleneck", "depth_entropy_bottleneck"],
+        help="EB param names whose quantiles get bisection-fitted (pass "
+        "with no values to skip)",
+    )
     args = ap.parse_args()
 
     with open(args.ckpt, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     params = raw.get("params", raw)
+    if args.fit_quantiles:
+        params = fit_eb_quantiles(params, args.fit_quantiles)
 
     def to_f16(x):
         arr = np.asarray(x)

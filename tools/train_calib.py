@@ -83,7 +83,7 @@ def main():
     ap.add_argument("--lam", type=float, default=0.0067)
     ap.add_argument("--pool", type=int, default=30)
     ap.add_argument("--out", default="/tmp/calib_ckpt")
-    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--save-every", type=int, default=2000)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--resume", default="")
     args = ap.parse_args()
@@ -95,7 +95,9 @@ def main():
         make_dual_optimizer,
         rate_distortion_loss_united,
     )
-    from rgbdc_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+    from flax import serialization
+
+    from rgbdc_tpu.training.checkpoint import load_params
     from rgbdc_tpu.training.state import make_train_step
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -112,9 +114,11 @@ def main():
     print(f"init {time.time()-t0:.1f}s, {n_params/1e6:.1f}M params", flush=True)
     start_step = 0
     if args.resume:
-        state, meta = restore_checkpoint(state, args.resume)
-        start_step = int(state.step)
-        print(f"resumed from {args.resume} at step {start_step}", flush=True)
+        # params-only resume (checkpoints here are params-only: the FULL
+        # train state is ~1.8 GB and takes minutes to pull through the
+        # tunnel; calibration only needs the weights)
+        state = state.replace(params=load_params(args.resume, state.params))
+        print(f"resumed params from {args.resume}", flush=True)
 
     step_fn = make_train_step(
         model,
@@ -154,11 +158,19 @@ def main():
             t0 = time.time()
         if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
             loss = float(metrics["loss"])
-            is_best = loss < best
             best = min(best, loss)
-            path = save_checkpoint(state, i + 1, loss, args.out, is_best=is_best,
-                                   snapshot_every=0)
-            print(f"saved {path} @ step {i+1} loss {loss:.3f}", flush=True)
+            t_save = time.time()
+            os.makedirs(args.out, exist_ok=True)
+            path = os.path.join(args.out, "checkpoint_latest.msgpack")
+            payload = serialization.to_bytes({"params": jax.device_get(state.params)})
+            with open(path, "wb") as f:
+                f.write(payload)
+            print(
+                f"saved {path} @ step {i+1} loss {loss:.3f} "
+                f"({len(payload)/1e6:.0f} MB, {time.time()-t_save:.0f}s)",
+                flush=True,
+            )
+            t0 = time.time()
 
 
 if __name__ == "__main__":
