@@ -118,10 +118,15 @@ def main():
     )
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
     if CALIB_CKPT:
-        from tools.export_calib import load_calib_params
+        from tools.export_calib import load_calib_params_device
 
         t0 = time.time()
-        variables = {"params": load_calib_params(CALIB_CKPT, variables["params"])}
+        # f16 leaves upload (300 MB vs 600), widened on DEVICE; one
+        # committed placement (numpy args to jitted functions would
+        # re-upload per call on this tunnel)
+        variables = {
+            "params": load_calib_params_device(CALIB_CKPT, variables["params"])
+        }
         print(
             f"loaded calibration checkpoint {CALIB_CKPT} "
             f"({time.time()-t0:.1f}s); sigma bound "
@@ -158,6 +163,13 @@ def main():
     out = compress(rgb, depth)
     dec = decompress(out["r_strings"], out["d_strings"], out["shape"])
     sync(dec["x_hat"]["r"])
+    if wire == "lanes":
+        # second compress: the auto pull tuner may have switched formats
+        # after seeing live indexes (codec._pull_mode) — its jits must
+        # compile in warmup, not inside the measured loop
+        out2 = compress(rgb, depth)
+        for a, b in zip(out2["r_strings"], out["r_strings"]):
+            assert a == b, "pull formats produced different streams"
     # correctness gate on the real device: the decoded latents must equal
     # the encoder's bit for bit, else the throughput number is meaningless
     np.testing.assert_array_equal(
@@ -173,11 +185,22 @@ def main():
         print(f"pull paths: fallback={fb} fast={fast}", file=sys.stderr)
         if (CALIB_CKPT and fb is not None
                 and os.environ.get("RGBDC_DEVICE_ENCODE", "0") != "1"):
-            # trained statistics = live sigma predictions: the per-slice
-            # exact-pull fallback MUST be exercised (VERDICT r2 weak #2) —
-            # a measurement that only ever hits the degenerate idx-skip
-            # path would be benching the wrong regime
-            assert fb > 0, "trained ckpt loaded but idx-skip path fired everywhere"
+            # trained statistics = live sigma predictions: real per-symbol
+            # index traffic MUST be exercised (VERDICT r2 weak #2) — either
+            # the exact-pull fallback fired, or the auto tuner switched to
+            # sym5idx (5-bit symbols + the REAL u8 index stream).  A run
+            # that only ever hits the degenerate idx-skip path (fast slices
+            # in "compact" mode) would be benching the wrong regime.
+            live_idx = fb > 0 or getattr(codec, "_pull_mode", None) == "sym5idx"
+            assert live_idx, (
+                "trained ckpt loaded but idx-skip path fired everywhere "
+                f"(mode={getattr(codec, '_pull_mode', None)})"
+            )
+            print(
+                f"pull mode: {getattr(codec, '_pull_mode', None)} "
+                "(live index stream)",
+                file=sys.stderr,
+            )
 
     with trace_if_enabled():
         if pipeline:

@@ -107,6 +107,37 @@ def build_lut(table: CdfTable) -> np.ndarray:
     return lut.reshape(n * (1 << 16), 2)
 
 
+def build_small_tables(table: CdfTable, k_cap: int = 66, r_max: int = 64):
+    """Dense-CDF tables for the small-sigma decode fast path.
+
+    TPU gathers from HBM cost ~14 ns/element regardless of table size
+    (measured, docs/PERF.md round 3); the packed LUT therefore floors the
+    scan at ~2 gather-elements/symbol.  But the NARROW rows — small-sigma
+    Gaussian rows, where a trained codec's predictions concentrate (the
+    bench checkpoint puts >99.9% of symbols in rows 0..21) — have few
+    symbols, so the whole row fits a dense [r_small, k_cap] i32 matrix
+    that rides into the program as a ~17 KB CONSTANT.  A one-hot matmul
+    (MXU) materializes each lane's row and the symbol search becomes pure
+    vector compares: ZERO gather elements for small rows.
+
+    Returns (cdf [r, k_cap] f32 with +inf-like padding, offset [r] f32,
+    maxv [r] f32, r) for the longest prefix of rows with cdf_length <=
+    k_cap (capped at r_max), or None if fewer than 4 rows qualify."""
+    lens = np.asarray(table.cdf_length)
+    r = 0
+    while r < min(r_max, lens.size) and lens[r] <= k_cap:
+        r += 1
+    if r < 4:
+        return None
+    pad = np.float32(1 << 20)  # > any 16-bit cdf value, exact in f32
+    cdf = np.full((r, k_cap), pad, np.float32)
+    for i in range(r):
+        cdf[i, : lens[i]] = table.cdf[i, : lens[i]].astype(np.float32)
+    off = np.asarray(table.offset[:r], np.float32)
+    maxv = (lens[:r] - 2).astype(np.float32)
+    return cdf, off, maxv, r
+
+
 def combine_tables(*tables: CdfTable) -> CdfTable:
     """Concatenate CDF tables into one (rows of table k are offset by the
     total row count of tables <k).  Lets a single stream interleave groups
@@ -196,17 +227,88 @@ def _sext(x, bits):
     return (x ^ m) - m
 
 
-def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl):
+def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
     """Decode one lockstep row: every active lane pops one symbol.
 
     tbl is either a DeviceCdfTable (binary-search mode) or a packed
-    [n*65536, 2] uint32 LUT array (one-descriptor mode, see build_lut)."""
+    [n*65536, 2] uint32 LUT array (one-descriptor mode, see build_lut).
+    ``small`` (build_small_tables output) adds the gather-free fast path
+    for narrow CDF rows: one-hot matmul over an in-program dense CDF +
+    vector compares; the LUT gather then runs inside a while_loop only on
+    rows where some lane's index falls outside the small prefix (all-z
+    rows, or rare high-sigma y elements — a trained codec's y rows skip
+    it almost always).  Do NOT turn that while_loop into lax.cond: XLA
+    select-converts conds inside scans and the gather would run on every
+    row (docs/PERF.md)."""
     state, pos, nib = carry.state, carry.pos, carry.nib
     idx_row = jnp.where(act, idx_row, 0)  # keep gathers in-bounds
     cum = (state & MASK16).astype(jnp.int32)
 
     lut_mode = not isinstance(tbl, DeviceCdfTable)
-    if lut_mode:
+    if lut_mode and small is not None:
+        cdf_s, off_s, maxv_s, r_small = small
+        is_small = idx_row < r_small
+        # one-hot row materialization: [*, r] @ [r, k] on the MXU; 16-bit
+        # cdf values are exact in f32, one-hot products/sums are exact
+        oh = (idx_row[..., None] == jnp.arange(r_small, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        row = jax.lax.dot_general(
+            oh, jnp.asarray(cdf_s),
+            (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [*, k_cap]
+        cumf = cum.astype(jnp.float32)[..., None]
+        s_sm = jnp.sum(
+            (row[..., 1:] <= cumf).astype(jnp.int32), axis=-1
+        )  # largest s with cdf[s] <= cum (cdf[0]=0 always <=)
+        ks = jnp.arange(cdf_s.shape[1], dtype=jnp.int32)
+        m_s = (ks == s_sm[..., None]).astype(jnp.float32)
+        m_n = (ks == (s_sm + 1)[..., None]).astype(jnp.float32)
+        start_sm = jnp.sum(row * m_s, axis=-1)
+        freq_sm = jnp.sum(row * m_n, axis=-1) - start_sm
+        off_sm = jnp.sum(oh * jnp.asarray(off_s), axis=-1)
+        maxv_sm = jnp.sum(oh * jnp.asarray(maxv_s), axis=-1)
+        esc_sm = s_sm.astype(jnp.float32) == maxv_sm
+        value_sm = jnp.where(esc_sm, maxv_sm, s_sm.astype(jnp.float32)) + off_sm
+
+        # big-row LUT gather, skipped entirely when every active lane is
+        # small (ONE while_loop iteration otherwise)
+        big = act & ~is_small
+        zeros_u = jnp.zeros(idx_row.shape, jnp.uint32)
+
+        def g_cond(c):
+            return c[0]
+
+        def g_body(c):
+            _, _, _ = c[0], c[1], c[2]
+            pos16 = (jnp.where(big, idx_row, 0) << 16) | cum
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(idx_row.ndim,),
+                collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            )
+            pair = jax.lax.gather(tbl, pos16[..., None], dn, slice_sizes=(1, 2))
+            return (jnp.asarray(False), pair[..., 0], pair[..., 1])
+
+        _, w0, w1 = jax.lax.while_loop(
+            g_cond, g_body, (jnp.any(big), zeros_u, zeros_u)
+        )
+        esc_big = (w0 >> 31).astype(bool)
+        value_big = _sext((w0 & MASK16).astype(jnp.int32), 16)
+        off_big = _sext(((w0 >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32), 15)
+        start_big = (w1 & MASK16).astype(jnp.int32)
+        freq_big = w1 >> 16
+
+        esc_flag = jnp.where(is_small, esc_sm, esc_big)
+        value16 = jnp.where(is_small, value_sm.astype(jnp.int32), value_big)
+        offset = jnp.where(is_small, off_sm.astype(jnp.int32), off_big)
+        start = jnp.where(is_small, start_sm.astype(jnp.int32), start_big)
+        freq = jnp.where(
+            is_small, freq_sm.astype(jnp.uint32), freq_big
+        )
+        s = value16
+    elif lut_mode:
         pos16 = (idx_row << 16) | cum
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(idx_row.ndim,),
@@ -288,6 +390,7 @@ def decode_group(
     indexes: jnp.ndarray,
     tbl: DeviceCdfTable,
     lanes: int = DEFAULT_LANES,
+    small=None,
 ):
     """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
 
@@ -313,7 +416,7 @@ def decode_group(
 
     def step(c, xs):
         idx_row, act = xs
-        return _decode_row(c, words, byp, idx_row, act, tbl)
+        return _decode_row(c, words, byp, idx_row, act, tbl, small=small)
 
     carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows))
     inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
@@ -385,14 +488,61 @@ def escape_chunks(sym: np.ndarray, idx: np.ndarray, table: CdfTable):
     return out
 
 
-def _encode_row(carry, lut, idx_row, sym_row, act):
-    """One reverse lockstep row: each active lane pushes one symbol."""
+def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
+    """One reverse lockstep row: each active lane pushes one symbol.
+
+    With ``small`` (build_small_tables output) the (start, freq) lookup
+    for narrow rows is gather-free: one-hot matmul over the dense CDF
+    constant + position selects (symbol -> value is known on the encoder,
+    so no cum search is needed); the enc-LUT gather runs in a while_loop
+    only on rows where some lane's index is outside the small prefix."""
     state, wpos, words = carry
     safe_idx = jnp.where(act, idx_row, 0)
-    key = safe_idx * (1 << 16) + (sym_row.astype(jnp.int32) + 32768)
-    sf = jnp.take(lut, key)
-    start = (sf & MASK16).astype(jnp.uint32)
-    freq = sf >> 16
+    if small is not None:
+        cdf_s, off_s, maxv_s, r_small = small
+        is_small = safe_idx < r_small
+        oh = (safe_idx[..., None] == jnp.arange(r_small, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        row = jax.lax.dot_general(
+            oh, jnp.asarray(cdf_s),
+            (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        off_sm = jnp.sum(oh * jnp.asarray(off_s), axis=-1).astype(jnp.int32)
+        maxv_sm = jnp.sum(oh * jnp.asarray(maxv_s), axis=-1).astype(jnp.int32)
+        v = sym_row.astype(jnp.int32) - off_sm
+        # out-of-range on either side codes the escape symbol (row maxv)
+        v = jnp.where((v >= 0) & (v < maxv_sm), v, maxv_sm)
+        ks = jnp.arange(cdf_s.shape[1], dtype=jnp.int32)
+        m_s = (ks == v[..., None]).astype(jnp.float32)
+        m_n = (ks == (v + 1)[..., None]).astype(jnp.float32)
+        start_sm = jnp.sum(row * m_s, axis=-1)
+        freq_sm = jnp.sum(row * m_n, axis=-1) - start_sm
+
+        big = act & ~is_small
+        zeros_u = jnp.zeros(safe_idx.shape, jnp.uint32)
+
+        def g_cond(c):
+            return c[0]
+
+        def g_body(c):
+            key = (
+                jnp.where(big, safe_idx, 0) * (1 << 16)
+                + (sym_row.astype(jnp.int32) + 32768)
+            )
+            return (jnp.asarray(False), jnp.take(lut, key))
+
+        _, sf = jax.lax.while_loop(g_cond, g_body, (jnp.any(big), zeros_u))
+        start = jnp.where(
+            is_small, start_sm.astype(jnp.uint32), (sf & MASK16).astype(jnp.uint32)
+        )
+        freq = jnp.where(is_small, freq_sm.astype(jnp.uint32), sf >> 16)
+    else:
+        key = safe_idx * (1 << 16) + (sym_row.astype(jnp.int32) + 32768)
+        sf = jnp.take(lut, key)
+        start = (sf & MASK16).astype(jnp.uint32)
+        freq = sf >> 16
     freq = jnp.maximum(freq, 1)
 
     emit = act & (state >= (freq << 16))
@@ -425,6 +575,7 @@ def encode_groups(
     lanes: int = DEFAULT_LANES,
     group_lens=None,
     wcap: int = 4096,
+    small=None,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -466,7 +617,7 @@ def encode_groups(
 
     def step(c, xs):
         i_r, s_r, a_r = xs
-        return _encode_row(c, enc_lut, i_r, s_r, a_r)
+        return _encode_row(c, enc_lut, i_r, s_r, a_r, small=small)
 
     (state, wpos, words), _ = jax.lax.scan(
         step, (state0, wpos0, words0), (idx_r, sym_r, act_r)

@@ -975,6 +975,11 @@ class UnitedCodec:
         )
         self._lut_r = put(jnp.asarray(_rt.build_lut(self._comb_r)))
         self._lut_d = put(jnp.asarray(_rt.build_lut(self._comb_d)))
+        # dense small-row CDFs (numpy constants, ~17 KB inlined into the
+        # fused programs): gather-free decode for the narrow-sigma rows a
+        # trained codec concentrates on (rans_tpu.build_small_tables)
+        self._small_r = _rt.build_small_tables(self._comb_r)
+        self._small_d = _rt.build_small_tables(self._comb_d)
         # encode LUTs for the on-device reverse-scan encoder (64 MB each)
         self._enc_lut_r = put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
         self._enc_lut_d = put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
@@ -1010,11 +1015,14 @@ class UnitedCodec:
             "d": np.asarray(self._comb_d.cdf_length - 2, np.int32),
         }
 
-        def dec_group(st3, words, byp, lut, idx):
+        small_r, small_d = self._small_r, self._small_d
+
+        def dec_group(st3, words, byp, lut, idx, small=None):
             b = idx.shape[0]
             carry = _rt.LaneState(*st3)
             carry, flat = _rt.decode_group(
-                carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut, lanes
+                carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut,
+                lanes, small=small,
             )
             return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
@@ -1053,7 +1061,7 @@ class UnitedCodec:
             )
             r_st3, r_sym_a = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx1),
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx1, small_r),
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)),
             )
@@ -1062,7 +1070,7 @@ class UnitedCodec:
             )
             d_st3, d_sym_a = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx2),
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx2, small_d),
                 lambda: (d_st3,
                          model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)),
             )
@@ -1072,7 +1080,7 @@ class UnitedCodec:
             )
             r_st3, r_sym_na = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx3),
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx3, small_r),
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols)),
             )
@@ -1082,7 +1090,7 @@ class UnitedCodec:
             )
             d_st3, d_sym_na = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx4),
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx4, small_d),
                 lambda: (d_st3,
                          model.apply(v, i, depth_y, d_mn_na, method=mt.nonanchor_symbols)),
             )
@@ -1203,7 +1211,7 @@ class UnitedCodec:
                 out = out + jnp.where(idx == j, jnp.int32(tv), 0)
             return out
 
-        def one(z_sym, groups, enc_lut, off_np, mv_np):
+        def one(z_sym, groups, enc_lut, off_np, mv_np, small):
             z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
             zi = jnp.broadcast_to(
                 jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
@@ -1219,14 +1227,17 @@ class UnitedCodec:
             esc = (value < 0) | (value >= small_take(mv_np, idx))
             esc_cnt = jnp.sum(esc, axis=1, dtype=jnp.int32)
             states, wcounts, words = _rt.encode_groups(
-                sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap
+                sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
+                small=small,
             )
             return states, wcounts, words, esc_cnt
 
+        small_r, small_d = self._small_r, self._small_d
+
         def run(rz, dz, r_groups, d_groups, lut_r, lut_d):
             return (
-                one(rz, r_groups, lut_r, off_r, mv_r),
-                one(dz, d_groups, lut_d, off_d, mv_d),
+                one(rz, r_groups, lut_r, off_r, mv_r, small_r),
+                one(dz, d_groups, lut_d, off_d, mv_d, small_d),
             )
 
         jrun = jax.jit(run)

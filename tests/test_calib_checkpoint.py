@@ -43,7 +43,9 @@ def trained_codec():
         jnp.zeros((1, 128, 128, 1)),
         training=True,
     )
-    variables = {"params": load_calib_params(CKPT, variables["params"])}
+    variables = jax.device_put(
+        {"params": load_calib_params(CKPT, variables["params"])}
+    )
     codec = UnitedCodec(model, variables)
 
     from PIL import Image

@@ -241,3 +241,97 @@ class TestDeviceEncoder:
         got_j, _ = _jax_decode(data, idx, group_lens, lanes)
         assert np.array_equal(got_c, got_j)
         return got_c
+
+
+class TestSmallRowFastPath:
+    """Hybrid decode: dense one-hot-matmul path for narrow CDF rows +
+    while_loop LUT gather for wide rows (rans_tpu.build_small_tables) must
+    be bit-exact with the C coder on adversarial mixed streams."""
+
+    def test_build_small_tables_prefix(self):
+        small = rt.build_small_tables(TABLE)
+        assert small is not None
+        cdf_s, off_s, maxv_s, r = small
+        assert 4 <= r <= 64
+        for i in range(r):
+            ln = int(TABLE.cdf_length[i])
+            np.testing.assert_array_equal(
+                cdf_s[i, :ln].astype(np.int64), TABLE.cdf[i, :ln]
+            )
+            assert maxv_s[i] == ln - 2
+
+    @pytest.mark.parametrize("esc_rate", [0.0, 0.05])
+    def test_bit_exact_vs_c_mixed_rows(self, esc_rate):
+        rng = np.random.default_rng(11)
+        lanes = 64
+        n = 6000
+        small = rt.build_small_tables(TABLE)
+        r_small = small[3]
+        # bias indexes toward the small prefix (the trained regime) with a
+        # sprinkle of big rows, so rows mix small/big lanes arbitrarily
+        idx = np.where(
+            rng.random(n) < 0.9,
+            rng.integers(0, min(8, r_small), n),
+            rng.integers(0, len(TABLE.cdf_length), n),
+        ).astype(np.uint8)
+        off = TABLE.offset[idx.astype(np.int64)]
+        maxv = TABLE.cdf_length[idx.astype(np.int64)] - 2
+        sym = (off + rng.integers(0, 1, n) * 0).astype(np.int16)
+        width = np.maximum(maxv, 1)
+        sym = (off + rng.integers(0, 10000, n) % width).astype(np.int16)
+        esc = rng.random(n) < esc_rate
+        sym[esc] = rng.integers(-3000, 3000, max(int(esc.sum()), 0)).astype(np.int16)
+        group_lens = [2500, 1000, 2500]
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+        # C mirror sanity
+        np.testing.assert_array_equal(
+            lanes_decode(data, idx, group_lens, TABLE, lanes=lanes), sym
+        )
+        # JAX LUT + small fast path
+        lut = jnp.asarray(rt.build_lut(TABLE))
+        states, words, byp = lanes_split(data, lanes)
+        carry = rt.init_lane_state(jnp.asarray(states)[None])
+        out, base = [], 0
+        for gl in group_lens:
+            gi = jnp.asarray(idx[base : base + gl])[None]
+            carry, s = rt.decode_group(
+                carry, jnp.asarray(words)[None], jnp.asarray(byp)[None],
+                gi, lut, lanes=lanes, small=small,
+            )
+            out.append(np.asarray(s).reshape(-1))
+            base += gl
+        np.testing.assert_array_equal(
+            np.concatenate(out).astype(np.int16), sym
+        )
+
+    def test_device_encoder_small_path_bit_exact(self):
+        """encode_groups with the small fast path must emit the same lane
+        words as the C encoder (mixed small/big rows, no escapes — the
+        device encoder diverts escapes to the host sideband)."""
+        rng = np.random.default_rng(23)
+        lanes = 32
+        n = 4000
+        small = rt.build_small_tables(TABLE)
+        idx = np.where(
+            rng.random(n) < 0.9,
+            rng.integers(0, 8, n),
+            rng.integers(0, len(TABLE.cdf_length), n),
+        ).astype(np.uint8)
+        off = TABLE.offset[idx.astype(np.int64)]
+        maxv = TABLE.cdf_length[idx.astype(np.int64)] - 2
+        sym = (off + rng.integers(0, 10000, n) % np.maximum(maxv, 1)).astype(np.int16)
+        group_lens = [1500, 2500]
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+
+        enc_lut = jnp.asarray(rt.build_enc_lut(TABLE))
+        states, wcounts, words = rt.encode_groups(
+            jnp.asarray(sym)[None], jnp.asarray(idx)[None], enc_lut,
+            lanes=lanes, group_lens=group_lens, wcap=512, small=small,
+        )
+        from rgbdc_tpu.coder.rans import assemble_lanes_container
+
+        container = assemble_lanes_container(
+            np.asarray(states)[0], np.asarray(wcounts)[0].astype(np.uint32),
+            np.asarray(words)[0], [[] for _ in range(lanes)],
+        )
+        assert container == data

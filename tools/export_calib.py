@@ -90,6 +90,27 @@ def main():
     print(f"wrote {args.out}: {len(data)/1e6:.1f} MB, {n/1e6:.1f}M params")
 
 
+def load_calib_params_device(path: str, params_template):
+    """Load an f16 export straight onto the device: upload the f16 leaves
+    (half the bytes — the tunnel h2d is the bottleneck at ~600 MB f32) and
+    widen to the template dtypes ON DEVICE with a jitted cast."""
+    import jax
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = raw.get("params", raw)
+    restored = serialization.from_state_dict(params_template, params)
+    dev16 = jax.device_put(restored)
+    dtypes = jax.tree.map(lambda t: np.dtype(t.dtype), params_template)
+    cast = jax.jit(
+        lambda tree: jax.tree.map(
+            lambda x, dt: x.astype(jnp.dtype(dt)), tree, dtypes
+        )
+    )
+    return cast(dev16)
+
+
 def load_calib_params(path: str, params_template):
     """Load an f16 export back into a (f32) params template."""
     with open(path, "rb") as f:

@@ -47,8 +47,11 @@ def main():
         training=True,
     )
     if args.ckpt and os.path.exists(args.ckpt):
-        variables = {"params": load_calib_params(args.ckpt, variables["params"])}
-        print(f"loaded {args.ckpt}")
+        # device_put once — numpy args would re-upload per jitted call
+        variables = jax.device_put(
+            {"params": load_calib_params(args.ckpt, variables["params"])}
+        )
+        print(f"loaded {args.ckpt}", flush=True)
     else:
         print("UNTRAINED weights (no checkpoint found)")
 
