@@ -488,6 +488,33 @@ def escape_chunks(sym: np.ndarray, idx: np.ndarray, table: CdfTable):
     return out
 
 
+def escape_chunks_at(pos: np.ndarray, sym: np.ndarray, idx: np.ndarray,
+                     table: CdfTable):
+    """escape_chunks for a PRE-COMPACTED escape sideband: ``pos`` are the
+    global coding positions of the escapes (ascending), ``sym``/``idx``
+    their wire symbols and CDF rows (the device encoder's esc compaction,
+    models/codec.py _device_encode_setup).  Every entry IS an escape."""
+    out = []
+    for k in range(pos.size):
+        i = int(idx[k])
+        off = int(table.offset[i])
+        maxv = int(table.cdf_length[i]) - 2
+        v = int(sym[k]) - off
+        raw = 2 * (-v) - 1 if v < 0 else 2 * (v - maxv)
+        n_byp = 0
+        while (raw >> (n_byp * 4)) != 0:
+            n_byp += 1
+        assert n_byp < 15, (
+            f"escape raw value {raw:#x} needs {n_byp} bypass nibbles >= 15: "
+            "count chain unsupported by the on-device decoder"
+        )
+        nibs = [n_byp]
+        for j in range(n_byp):
+            nibs.append((raw >> (4 * j)) & 0xF)
+        out.append((int(pos[k]), nibs))
+    return out
+
+
 def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
     """One reverse lockstep row: each active lane pushes one symbol.
 

@@ -931,9 +931,16 @@ class UnitedCodec:
         )
     # static words-per-lane / nibble-words-per-lane capacity of the fused
     # programs; streams longer than this cannot be decoded on-device
-    # (raise, suggesting the env var)
-    WMAX = int(os.environ.get("RGBDC_WMAX", "5120"))
-    BMAX = int(os.environ.get("RGBDC_BMAX", "2048"))
+    # (raise, suggesting the env var).  Defaults scale inversely with the
+    # lane count — the main stream consumes <=1 word per symbol, so a
+    # lane's worst case is its symbol count (~total/lanes); keeping
+    # WMAX*LANES constant keeps the [b, LANES, WMAX] buffers (and the
+    # encoder's scatter target) the same size at any lane width.
+    WMAX = int(os.environ.get("RGBDC_WMAX", str(max(512, 655360 // LANES))))
+    BMAX = int(os.environ.get("RGBDC_BMAX", str(max(256, 262144 // LANES))))
+    # per-image capacity of the device encoder's compacted escape sideband;
+    # batches with more escapes/image fall back to the full wire-tensor pull
+    ESC_CAP = int(os.environ.get("RGBDC_ESC_CAP", "4096"))
     # upload widths are bucketed so repeat batches reuse the pad program;
     # 128 keeps padding waste <=12% at typical stream sizes (the pad to
     # WMAX happens on DEVICE, so the bucket only sizes the h2d transfer)
@@ -1244,9 +1251,59 @@ class UnitedCodec:
         fn = lambda rz, dz, rg, dg: jrun(
             rz, dz, rg, dg, self._enc_lut_r, self._enc_lut_d
         )
-        cache[key] = (fn, all_lens)
+
+        # escape sideband (compiled lazily, dispatched only on batches whose
+        # esc_cnt > 0): compacts the rare out-of-range symbols into
+        # [b, ESC_CAP] (position, symbol, cdf-row) triples so the host can
+        # build the bypass nibble streams WITHOUT pulling the full 3 B/sym
+        # wire tensors — the pull is ~100 KB instead of ~40 MB.
+        cap = self.ESC_CAP
+
+        def sym_idx(z_sym, groups):
+            z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
+            zi = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
+            ).reshape(b, -1)
+            sym = jnp.concatenate(
+                [z16] + [g[0].reshape(b, -1) for g in groups], axis=1
+            )
+            idx = jnp.concatenate(
+                [zi] + [g[1].reshape(b, -1).astype(jnp.int32) for g in groups],
+                axis=1,
+            )
+            return sym, idx
+
+        def esc_one(z_sym, groups, off_np, mv_np):
+            sym, idx = sym_idx(z_sym, groups)
+            value = sym.astype(jnp.int32) - small_take(off_np, idx)
+            esc = (value < 0) | (value >= small_take(mv_np, idx))
+            t = sym.shape[1]
+            pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(jnp.int32)
+            tgt = jnp.where(esc, pos, cap)
+            bi = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)
+            )
+            gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+            out_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
+                gpos, mode="drop"
+            )
+            out_sym = jnp.zeros((b, cap), jnp.int16).at[bi, tgt].set(
+                sym, mode="drop"
+            )
+            out_idx = jnp.zeros((b, cap), jnp.uint8).at[bi, tgt].set(
+                idx.astype(jnp.uint8), mode="drop"
+            )
+            return out_pos, out_sym, out_idx
+
+        jesc = jax.jit(
+            lambda rz, dz, rg, dg: (
+                esc_one(rz, rg, off_r, mv_r),
+                esc_one(dz, dg, off_d, mv_d),
+            )
+        )
+        cache[key] = (fn, all_lens, jesc)
         self._dev_enc_cache = cache
-        return fn, all_lens
+        return fn, all_lens, jesc
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
@@ -1285,7 +1342,7 @@ class UnitedCodec:
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
         y_lens = [int(np.prod(g[0].shape[1:])) for g in r_groups]
         zshape = (int(rz_sym.shape[1]), int(rz_sym.shape[2]))
-        enc_fn, all_lens = self._device_encode_setup(b, zshape, y_lens)
+        enc_fn, all_lens, esc_fn = self._device_encode_setup(b, zshape, y_lens)
         (rs, rwc, rwords, resc), (ds, dwc, dwords, desc_) = enc_fn(
             rz2, dz2, r_groups, d_groups
         )
@@ -1308,31 +1365,67 @@ class UnitedCodec:
         rwords_h, dwords_h = jax.device_get(
             (slicer[wb](rwords), slicer[wb](dwords))
         )
+        if os.environ.get("RGBDC_DEBUG_PULL"):
+            import sys
+
+            print(
+                f"[device-encode] wmax_used={wmax_used} wb={wb} "
+                f"words_pull={2 * 2 * b * self.LANES * wb / 1e6:.1f} MB "
+                f"esc r={int(resc.sum())} d={int(desc_.sum())} "
+                f"(max/img {int(max(resc.max(), desc_.max()))})",
+                file=sys.stderr,
+            )
 
         r_esc_info = d_esc_info = None
+        self.last_esc_path = None
         if int(resc.sum()) or int(desc_.sum()):
-            # rare: true escapes — pull the exact symbols and build the
-            # per-lane bypass nibble streams on the host
-            from ..coder.rans_tpu import escape_chunks
+            if int(max(resc.max(), desc_.max())) <= self.ESC_CAP:
+                self.last_esc_path = "sideband"
+                # normal trained-stream case: a handful of escapes — pull
+                # the compacted (position, symbol, row) sideband (~100 KB)
+                from ..coder.rans_tpu import escape_chunks_at
 
-            r_sym, r_idx = jax.device_get(_pack_groups(list(r_groups)))
-            d_sym, d_idx = jax.device_get(_pack_groups(list(d_groups)))
-            rz_h, dz_h = jax.device_get((rz2, dz2))
-            zi = (eb_channel_indexes(rz_h.shape) + 64).astype(np.uint8)
+                (r_side, d_side) = jax.device_get(
+                    esc_fn(rz2, dz2, r_groups, d_groups)
+                )
+                r_esc_info = [
+                    escape_chunks_at(
+                        r_side[0][i][: resc[i]], r_side[1][i][: resc[i]],
+                        r_side[2][i][: resc[i]], self._comb_r,
+                    )
+                    for i in range(b)
+                ]
+                d_esc_info = [
+                    escape_chunks_at(
+                        d_side[0][i][: desc_[i]], d_side[1][i][: desc_[i]],
+                        d_side[2][i][: desc_[i]], self._comb_d,
+                    )
+                    for i in range(b)
+                ]
+            else:
+                # pathological stream (untrained model / adversarial
+                # content): fall back to the full wire-tensor pull
+                self.last_esc_path = "full"
+                from ..coder.rans_tpu import escape_chunks
 
-            def full(zh_, ys, yi, i):
-                z16 = np.clip(zh_[i], -32768, 32767).astype(np.int16).reshape(-1)
-                return (np.concatenate([z16, ys[i]]),
-                        np.concatenate([zi[i].reshape(-1), yi[i]]))
+                r_sym, r_idx = jax.device_get(_pack_groups(list(r_groups)))
+                d_sym, d_idx = jax.device_get(_pack_groups(list(d_groups)))
+                rz_h, dz_h = jax.device_get((rz2, dz2))
+                zi = (eb_channel_indexes(rz_h.shape) + 64).astype(np.uint8)
 
-            r_esc_info = [
-                escape_chunks(*full(rz_h, r_sym, r_idx, i), self._comb_r)
-                for i in range(b)
-            ]
-            d_esc_info = [
-                escape_chunks(*full(dz_h, d_sym, d_idx, i), self._comb_d)
-                for i in range(b)
-            ]
+                def full(zh_, ys, yi, i):
+                    z16 = np.clip(zh_[i], -32768, 32767).astype(np.int16).reshape(-1)
+                    return (np.concatenate([z16, ys[i]]),
+                            np.concatenate([zi[i].reshape(-1), yi[i]]))
+
+                r_esc_info = [
+                    escape_chunks(*full(rz_h, r_sym, r_idx, i), self._comb_r)
+                    for i in range(b)
+                ]
+                d_esc_info = [
+                    escape_chunks(*full(dz_h, d_sym, d_idx, i), self._comb_d)
+                    for i in range(b)
+                ]
 
         def asm(states, wc, words, esc_info):
             from ..coder.rans import assemble_lanes_container, build_nibble_streams

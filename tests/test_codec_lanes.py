@@ -172,3 +172,42 @@ class TestDeviceEncodePath:
         np.testing.assert_array_equal(
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
+
+    def test_escape_sideband_and_full_fallback(self, monkeypatch):
+        """The two escape host-assembly paths (compacted sideband vs full
+        wire-tensor pull) must produce byte-identical streams: the sideband
+        is a pure pull-size optimization (~100 KB vs ~40 MB)."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(7)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        side = UnitedCodec(model, v)
+        side.ESC_CAP = 1 << 16  # force the compacted-sideband path
+        out_s = side.compress_lanes(rgb, depth)
+        assert side.last_esc_path == "sideband"
+
+        full = UnitedCodec(model, v)
+        full.ESC_CAP = 0  # force the full-pull fallback
+        out_f = full.compress_lanes(rgb, depth)
+        assert full.last_esc_path == "full"
+
+        assert out_s["r_streams"] == out_f["r_streams"]
+        assert out_s["d_streams"] == out_f["d_streams"]
+        dec = side.decompress_lanes(
+            out_s["r_streams"], out_s["d_streams"], out_s["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out_s["y_hat"]["r"])
+        )
