@@ -25,6 +25,20 @@ from concurrent.futures import ThreadPoolExecutor
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# Serving configuration (overridable): fully on-device encoding — only
+# stream-sized bytes + the compacted escape sideband cross the host link,
+# making throughput robust to tunnel/link weather (the 22 MB/batch symbol
+# pull of the host-encode path costs ~1 s when the link degrades to ~20
+# MB/s) — and bfloat16 analysis/synthesis convs (entropy-parameter
+# programs stay f32; the bit-exact closure is asserted below either way).
+os.environ.setdefault("RGBDC_DEVICE_ENCODE", "1")
+os.environ.setdefault("RGBDC_BF16", "1")
+# 512 lanes: decode is element-bound and lane-count-flat, but the reverse
+# encode scan is row-bound and ~25% faster at 512 (tools/prof_lanes2.py);
+# measured 11.3 vs 7.4 img/s on the same day/tunnel.  Cost: the v2 lane
+# container header is 12 B/lane/stream (see docs/PERF.md).
+os.environ.setdefault("RGBDC_LANES", "512")
+
 # The committed CALIBRATION checkpoint (tools/train_calib.py overfit on the
 # bench content, q=2_2): with it, the bench measures TRAINED statistics —
 # live sigma predictions (the per-slice idx fallback path), natural symbol

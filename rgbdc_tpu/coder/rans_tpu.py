@@ -259,14 +259,16 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
             precision=jax.lax.Precision.HIGHEST,
         )  # [*, k_cap]
         cumf = cum.astype(jnp.float32)[..., None]
-        s_sm = jnp.sum(
-            (row[..., 1:] <= cumf).astype(jnp.int32), axis=-1
-        )  # largest s with cdf[s] <= cum (cdf[0]=0 always <=)
-        ks = jnp.arange(cdf_s.shape[1], dtype=jnp.int32)
-        m_s = (ks == s_sm[..., None]).astype(jnp.float32)
-        m_n = (ks == (s_sm + 1)[..., None]).astype(jnp.float32)
-        start_sm = jnp.sum(row * m_s, axis=-1)
-        freq_sm = jnp.sum(row * m_n, axis=-1) - start_sm
+        # ONE compare mask gives all three quantities (the row is strictly
+        # increasing, 16-bit values exact in f32): the symbol is the count
+        # of cdf entries <= cum, its start the masked max, the next cdf
+        # value (-> freq) the min of the unmasked rest.  The pad value
+        # (2^20) never wins the min: row[len-1] = 65536 > any 16-bit cum.
+        le = row <= cumf  # [*, k_cap]
+        s_sm = jnp.sum(le[..., 1:].astype(jnp.int32), axis=-1)
+        start_sm = jnp.max(jnp.where(le, row, 0.0), axis=-1)
+        nxt_sm = jnp.min(jnp.where(le, jnp.float32(1 << 20), row), axis=-1)
+        freq_sm = nxt_sm - start_sm
         off_sm = jnp.sum(oh * jnp.asarray(off_s), axis=-1)
         maxv_sm = jnp.sum(oh * jnp.asarray(maxv_s), axis=-1)
         esc_sm = s_sm.astype(jnp.float32) == maxv_sm
@@ -541,11 +543,13 @@ def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
         v = sym_row.astype(jnp.int32) - off_sm
         # out-of-range on either side codes the escape symbol (row maxv)
         v = jnp.where((v >= 0) & (v < maxv_sm), v, maxv_sm)
+        # start/freq from ONE position mask (see _decode_row): row[v] is
+        # the masked max, row[v+1] the min of the rest — v+1 <= len-1
+        # always (v <= maxv = len-2), so the 2^20 pad never wins the min
         ks = jnp.arange(cdf_s.shape[1], dtype=jnp.int32)
-        m_s = (ks == v[..., None]).astype(jnp.float32)
-        m_n = (ks == (v + 1)[..., None]).astype(jnp.float32)
-        start_sm = jnp.sum(row * m_s, axis=-1)
-        freq_sm = jnp.sum(row * m_n, axis=-1) - start_sm
+        le = ks <= v[..., None]
+        start_sm = jnp.max(jnp.where(le, row, 0.0), axis=-1)
+        freq_sm = jnp.min(jnp.where(le, jnp.float32(1 << 20), row), axis=-1) - start_sm
 
         big = act & ~is_small
         zeros_u = jnp.zeros(safe_idx.shape, jnp.uint32)
@@ -603,6 +607,7 @@ def encode_groups(
     group_lens=None,
     wcap: int = 4096,
     small=None,
+    unroll: int = 4,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -611,7 +616,14 @@ def encode_groups(
     words u16[B,lanes,wcap]) where words[b,l,:wcounts] holds lane l's words
     in EMISSION order (reverse of decode-consume order — the host flips
     each lane when assembling the container).  group_lens must be the
-    static per-group symbol counts used by the matching decode calls."""
+    static per-group symbol counts used by the matching decode calls.
+
+    Unlike the decode scan (element-bound), the reverse encode scan is
+    ROW-latency-bound (measured: wider lanes sped it up 25% while decode
+    stayed flat, tools/prof_lanes2.py) — so each scan step processes
+    ``unroll`` consecutive rows back-to-back, cutting the serial step
+    count 4x WITHOUT widening the wire format (more lanes would cost 12
+    B/lane/stream of container header)."""
     b, total = sym.shape
     assert group_lens is not None and int(np.sum(group_lens)) == total
     idx_rows, sym_rows, act_rows = [], [], []
@@ -638,13 +650,33 @@ def encode_groups(
     sym_r = jnp.concatenate(sym_rows, axis=0)[::-1]
     act_r = jnp.concatenate(act_rows, axis=0)[::-1]
 
+    # pad the row count to a multiple of ``unroll`` with inactive rows
+    # AT THE FRONT (they run first in the reverse scan and are no-ops:
+    # act=False emits nothing and leaves state untouched)
+    rows = idx_r.shape[0]
+    k = max(int(unroll), 1)
+    rpad = (-rows) % k
+    if rpad:
+        zrow = jnp.zeros((rpad, b, lanes), jnp.int32)
+        frow = jnp.zeros((rpad, b, lanes), bool)
+        idx_r = jnp.concatenate([zrow, idx_r], axis=0)
+        sym_r = jnp.concatenate([zrow, sym_r], axis=0)
+        act_r = jnp.concatenate([frow, act_r], axis=0)
+    nsteps = (rows + rpad) // k
+    shp = (nsteps, k, b, lanes)
+    idx_r = idx_r.reshape(shp)
+    sym_r = sym_r.reshape(shp)
+    act_r = act_r.reshape(shp)
+
     state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
     wpos0 = jnp.zeros((b, lanes), jnp.int32)
     words0 = jnp.zeros((b, lanes, wcap), jnp.uint16)
 
     def step(c, xs):
-        i_r, s_r, a_r = xs
-        return _encode_row(c, enc_lut, i_r, s_r, a_r, small=small)
+        i_k, s_k, a_k = xs
+        for j in range(k):
+            c, _ = _encode_row(c, enc_lut, i_k[j], s_k[j], a_k[j], small=small)
+        return c, None
 
     (state, wpos, words), _ = jax.lax.scan(
         step, (state0, wpos0, words0), (idx_r, sym_r, act_r)

@@ -712,6 +712,44 @@ class UnitedCodec:
             lambda v, ry, dy: model.apply(v, ry, dy, method=mt.synthesize)
         )
 
+        # bf16 serving variants of the two conv-heavy stages (RGBDC_BF16=1;
+        # bench.py default).  Only the LANE path uses them: the analysis
+        # front just picks which symbols get coded (encoder-internal — the
+        # decoder never recomputes it) and synthesis runs after y_hat is
+        # already bit-exact, so the enc/dec closure is untouched.  The
+        # entropy-parameter fused programs stay f32 (they set quantization
+        # boundaries and are pinned by the imported-weights golden parity).
+        # Measured: front 186 -> 141 ms, synth 213 -> 170 ms per batch 16
+        # (tools/prof_bf16.py); reconstruction error ~1e-2 relative.
+        self._bf16_serving = os.environ.get("RGBDC_BF16", "0") == "1"
+
+        def _cast16(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                t,
+            )
+
+        def _front16(v, r, d):
+            ry, dy, rz, dz = model.apply(
+                _cast16(v), r.astype(jnp.bfloat16), d.astype(jnp.bfloat16),
+                method=mt.encode_front,
+            )
+            return (ry.astype(jnp.float32), dy.astype(jnp.float32), rz, dz)
+
+        def _synth16(v, ry, dy):
+            out = model.apply(
+                _cast16(v), ry.astype(jnp.bfloat16), dy.astype(jnp.bfloat16),
+                method=mt.synthesize,
+            )
+            return tuple(x.astype(jnp.float32) for x in out)
+
+        self._encode_front_srv = (
+            jax.jit(_front16) if self._bf16_serving else self._encode_front
+        )
+        self._synth_srv = jax.jit(_synth16) if self._bf16_serving else self._synth
+
     def _encode_stage_flow(self, rgb, depth):
         """Drive the shared per-stage programs over all slices; returns the
         device-side (sym, idx) group lists in coding order plus y_hat.
@@ -942,9 +980,10 @@ class UnitedCodec:
     # batches with more escapes/image fall back to the full wire-tensor pull
     ESC_CAP = int(os.environ.get("RGBDC_ESC_CAP", "4096"))
     # upload widths are bucketed so repeat batches reuse the pad program;
-    # 128 keeps padding waste <=12% at typical stream sizes (the pad to
-    # WMAX happens on DEVICE, so the bucket only sizes the h2d transfer)
-    WORD_BUCKET = 128
+    # the bucket scales inversely with the lane count (per-lane words do
+    # too), keeping padding waste <=12% at typical stream sizes (the pad
+    # to WMAX happens on DEVICE, so the bucket only sizes the transfers)
+    WORD_BUCKET = max(16, 16384 // LANES)
 
     def _lane_setup(self):
         if getattr(self, "_lane_ready", False):
@@ -1326,7 +1365,7 @@ class UnitedCodec:
         self._lane_setup()
         v = self.variables
         rgb, depth = self._put_batch((rgb, depth))
-        rgb_y, depth_y, rz_sym, dz_sym = self._encode_front(v, rgb, depth)
+        rgb_y, depth_y, rz_sym, dz_sym = self._encode_front_srv(v, rgb, depth)
         b = rgb.shape[0]
         zst3, zw, zb = self._dummy_lane_inputs(b)
         if os.environ.get("RGBDC_DEVICE_ENCODE", "0") != "1":
@@ -1601,7 +1640,7 @@ class UnitedCodec:
         )
         rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
         depth_y_hat = jnp.concatenate(d_prev, axis=-1)
-        rgb_hat, depth_hat = self._synth(v, rgb_y_hat, depth_y_hat)
+        rgb_hat, depth_hat = self._synth_srv(v, rgb_y_hat, depth_y_hat)
         return {
             "x_hat": {"r": rgb_hat, "d": depth_hat},
             "y_hat": {"r": rgb_y_hat, "d": depth_y_hat},

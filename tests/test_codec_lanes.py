@@ -85,6 +85,38 @@ class TestLaneCodec:
             np.asarray(dec_lane["x_hat"]["d"]), np.asarray(dec_compat["x_hat"]["d"])
         )
 
+    def test_bf16_serving_path(self, monkeypatch):
+        """RGBDC_BF16=1 runs analysis-front and synthesis in bfloat16 (the
+        serving fast path, ~20-25% off the conv stages).  The enc/dec
+        closure must STILL be bit-exact — the front only picks which
+        symbols get coded, and synthesis runs after y_hat is fixed — and
+        the reconstruction must stay close to the f32 compat path."""
+        monkeypatch.setenv("RGBDC_BF16", "1")
+        codec16 = _tiny_codec()
+        assert codec16._bf16_serving
+        out = codec16.compress_lanes(self.rgb, self.depth)
+        dec = codec16.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+        # f32 compat reference on the same images
+        compat = self.codec.compress(self.rgb, self.depth)
+        dec32 = self.codec.decompress(
+            compat["r_strings"], compat["d_strings"], compat["shape"]
+        )
+        diff = np.asarray(dec["x_hat"]["r"]) - np.asarray(dec32["x_hat"]["r"])
+        rms = float(np.sqrt(np.mean(diff**2)))
+        # bf16 analysis legitimately flips a few quantization decisions
+        # (different-but-valid encode); on an UNTRAINED random model those
+        # flips cost more than they would trained (tools/check_bf16_quality
+        # pins the trained-checkpoint delta) — this is a loose sanity bound
+        assert rms < 0.05, rms
+
     def test_stream_sizes_reasonable(self):
         """Lane container overhead (v2 format) is 12 bytes/lane of headers
         plus up to one padding u16 per lane of nibble stream; streams must

@@ -48,6 +48,22 @@ class TestShardedServing:
         assert dec["x_hat"]["r"].shape == rgb.shape
         assert dec["x_hat"]["d"].shape == depth.shape
 
+    def test_device_encode_sharded(self, sharded_codec, monkeypatch):
+        """DP sharding + fully on-device encoding (reverse rans scan +
+        escape sideband), the bench.py serving default.  Streams must
+        match the host-encode path's byte for byte — same wire format,
+        same closure."""
+        codec, rgb, depth = sharded_codec
+        ref = codec.compress_lanes(rgb, depth)
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        out = codec.compress_lanes(rgb, depth)
+        assert out["r_streams"] == ref["r_streams"]
+        assert out["d_streams"] == ref["d_streams"]
+        dec = codec.decompress_lanes(out["r_streams"], out["d_streams"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+
     def test_batch_is_actually_sharded(self, sharded_codec):
         """The decoded tensors must carry the 'data'-axis batch sharding —
         i.e. the codec really ran DP over the mesh, not replicated."""
