@@ -529,9 +529,13 @@ inline int build_subs32(int32_t symbol, const int32_t *cdf, int32_t max_value,
 // Bypass chunks are raw 4-bit values either way, so the coded size is
 // unchanged up to per-lane padding (<=3 nibbles) + the 4 B/lane count.
 //
-// Container: [L x u32 states][L x u32 word counts][L x u32 nibble counts]
-//            [u16 words, lane-major]
-//            [u16 nibble words, lane-major; 4 nibbles/u16, LS nibble first]
+// Container (compact v3 header — u32 counts cost 12 B/lane, which
+// dominated small trained streams at wide lane counts):
+//   [u8 version=3][u8 flags: bit0 has_nibbles][u16 zero]
+//   [L x u32 states][L x u16 word counts]
+//   [L x u16 nibble counts, ONLY when flags.has_nibbles]
+//   [u16 words, lane-major]
+//   [u16 nibble words, lane-major; 4 nibbles/u16, LS nibble first]
 int64_t rans32_lanes_encode(const int16_t *symbols, const uint8_t *indexes,
                             const int64_t *group_lens, int32_t n_groups,
                             int32_t lanes, const int32_t *cdfs,
@@ -615,18 +619,39 @@ int64_t rans32_lanes_encode(const int16_t *symbols, const uint8_t *indexes,
     lane_nibs[l] = std::move(nwords);
   }
 
-  // 3. serialize
+  // 3. serialize (compact v3 header: word/nibble counts as u16, nibble
+  //    counts omitted entirely for escape-free streams — the common case
+  //    for a trained codec, where the 12 B/lane v2 header dominated small
+  //    streams at wide lane counts)
   int64_t nwords_total = 0, nnibw_total = 0;
+  bool has_nibs = false;
   for (int32_t l = 0; l < lanes; ++l) {
     nwords_total += wcounts[l];
     nnibw_total += static_cast<int64_t>(lane_nibs[l].size());
+    if (ncounts[l]) has_nibs = true;
+    if (wcounts[l] > 0xFFFF || ncounts[l] > 0xFFFF) return -3;
   }
-  const int64_t nbytes = 12LL * lanes + 2 * (nwords_total + nnibw_total);
+  const int64_t nbytes = 4 + 6LL * lanes + (has_nibs ? 2LL * lanes : 0) +
+                         2 * (nwords_total + nnibw_total);
   if (nbytes > capacity) return -nbytes;
-  std::memcpy(out, states.data(), 4LL * lanes);
-  std::memcpy(out + 4LL * lanes, wcounts.data(), 4LL * lanes);
-  std::memcpy(out + 8LL * lanes, ncounts.data(), 4LL * lanes);
-  uint8_t *wp = out + 12LL * lanes;
+  out[0] = 3;  // container version
+  out[1] = has_nibs ? 1 : 0;
+  out[2] = out[3] = 0;
+  uint8_t *wp = out + 4;
+  std::memcpy(wp, states.data(), 4LL * lanes);
+  wp += 4LL * lanes;
+  for (int32_t l = 0; l < lanes; ++l) {
+    const uint16_t c = static_cast<uint16_t>(wcounts[l]);
+    std::memcpy(wp + 2LL * l, &c, 2);
+  }
+  wp += 2LL * lanes;
+  if (has_nibs) {
+    for (int32_t l = 0; l < lanes; ++l) {
+      const uint16_t c = static_cast<uint16_t>(ncounts[l]);
+      std::memcpy(wp + 2LL * l, &c, 2);
+    }
+    wp += 2LL * lanes;
+  }
   for (int32_t l = 0; l < lanes; ++l) {
     std::memcpy(wp, lane_words[l].data(), 2LL * wcounts[l]);
     wp += 2LL * wcounts[l];
@@ -666,20 +691,37 @@ int32_t rans32_lanes_decode(const uint8_t *data, int64_t nbytes,
                             const int32_t *cdfs, int32_t cdf_stride,
                             const int32_t *cdf_lengths, const int32_t *offsets,
                             int16_t *out) {
-  if (lanes <= 0 || nbytes < 12LL * lanes) return -1;
-  std::vector<uint32_t> states(lanes), wcounts(lanes), ncounts(lanes);
-  std::memcpy(states.data(), data, 4LL * lanes);
-  std::memcpy(wcounts.data(), data + 4LL * lanes, 4LL * lanes);
-  std::memcpy(ncounts.data(), data + 8LL * lanes, 4LL * lanes);
+  if (lanes <= 0 || nbytes < 4 + 6LL * lanes) return -1;
+  if (data[0] != 3) return -4;  // container version (compact v3 header)
+  const bool has_nibs = (data[1] & 1) != 0;
+  std::vector<uint32_t> states(lanes), wcounts(lanes), ncounts(lanes, 0);
+  const uint8_t *hp = data + 4;
+  std::memcpy(states.data(), hp, 4LL * lanes);
+  hp += 4LL * lanes;
+  for (int32_t l = 0; l < lanes; ++l) {
+    uint16_t c;
+    std::memcpy(&c, hp + 2LL * l, 2);
+    wcounts[l] = c;
+  }
+  hp += 2LL * lanes;
+  if (has_nibs) {
+    if (nbytes < 4 + 8LL * lanes) return -1;
+    for (int32_t l = 0; l < lanes; ++l) {
+      uint16_t c;
+      std::memcpy(&c, hp + 2LL * l, 2);
+      ncounts[l] = c;
+    }
+    hp += 2LL * lanes;
+  }
   int64_t nwords_total = 0, nnibw_total = 0;
   for (int32_t l = 0; l < lanes; ++l) {
     nwords_total += wcounts[l];
     nnibw_total += (ncounts[l] + 3) / 4;
   }
-  if (12LL * lanes + 2 * (nwords_total + nnibw_total) > nbytes) return -2;
+  if ((hp - data) + 2 * (nwords_total + nnibw_total) > nbytes) return -2;
   std::vector<const uint16_t *> ptrs(lanes), ends(lanes), nptrs(lanes);
   std::vector<int64_t> ncursor(lanes, 0);
-  const uint16_t *wp = reinterpret_cast<const uint16_t *>(data + 12LL * lanes);
+  const uint16_t *wp = reinterpret_cast<const uint16_t *>(hp);
   for (int32_t l = 0; l < lanes; ++l) {
     ptrs[l] = wp;
     wp += wcounts[l];

@@ -366,16 +366,27 @@ def lanes_decode(
 
 
 def lanes_split(data: bytes, lanes: int = 128):
-    """Split a v2 lane-split container into (states u32[lanes], words
-    u16[lanes, W], nibble_words u16[lanes, B]) with zero-padded rows — the
-    arrays the JAX decoder uploads to the device.  Nibble words pack the
-    escape-bypass chunks, 4 per u16, least-significant first."""
+    """Split a lane-split container (compact v3 header: u8 version, u8
+    flags, u32 states, u16 word counts, u16 nibble counts only when the
+    stream has escapes) into (states u32[lanes], words u16[lanes, W],
+    nibble_words u16[lanes, B]) with zero-padded rows — the arrays the JAX
+    decoder uploads to the device.  Nibble words pack the escape-bypass
+    chunks, 4 per u16, least-significant first."""
     buf = np.frombuffer(data, dtype=np.uint8)
-    states = buf[: 4 * lanes].view(np.uint32).copy()
-    wcounts = buf[4 * lanes : 8 * lanes].view(np.uint32).copy()
-    ncounts = buf[8 * lanes : 12 * lanes].view(np.uint32).copy()
+    assert buf[0] == 3, f"unknown lane-container version {buf[0]}"
+    has_nibs = bool(buf[1] & 1)
+    off = 4
+    states = buf[off : off + 4 * lanes].view(np.uint32).copy()
+    off += 4 * lanes
+    wcounts = buf[off : off + 2 * lanes].view(np.uint16).astype(np.uint32)
+    off += 2 * lanes
+    if has_nibs:
+        ncounts = buf[off : off + 2 * lanes].view(np.uint16).astype(np.uint32)
+        off += 2 * lanes
+    else:
+        ncounts = np.zeros(lanes, np.uint32)
     nwcounts = (ncounts + 3) // 4
-    rest = buf[12 * lanes :].view(np.uint16)
+    rest = buf[off:].view(np.uint16)
     w = max(int(wcounts.max()) if lanes else 0, 1)
     bw = max(int(nwcounts.max()) if lanes else 0, 1)
     words = np.zeros((lanes, w), dtype=np.uint16)
@@ -393,16 +404,26 @@ def lanes_split(data: bytes, lanes: int = 128):
 
 
 def assemble_lanes_container(states, wcounts, words_emitted, nib_streams):
-    """Build a v2 lane-split container from the ON-DEVICE encoder's outputs
-    (coder/rans_tpu.py encode_groups): per-lane words arrive in EMISSION
-    order and are flipped here into decode-consume order; nib_streams is a
-    per-lane list of bypass nibble values (forward decode order), built by
-    the caller from the escape sideband."""
+    """Build a lane-split container (compact v3 header, see lanes_split)
+    from the ON-DEVICE encoder's outputs (coder/rans_tpu.py encode_groups):
+    per-lane words arrive in EMISSION order and are flipped here into
+    decode-consume order; nib_streams is a per-lane list of bypass nibble
+    values (forward decode order), built by the caller from the escape
+    sideband."""
     lanes = states.shape[0]
     states = np.ascontiguousarray(states, dtype=np.uint32)
     wcounts = np.ascontiguousarray(wcounts, dtype=np.uint32)
+    assert int(wcounts.max(initial=0)) <= 0xFFFF, "lane word count exceeds u16"
     ncounts = np.asarray([len(nib_streams[l]) for l in range(lanes)], np.uint32)
-    parts = [states.tobytes(), wcounts.tobytes(), ncounts.tobytes()]
+    has_nibs = bool(ncounts.any())
+    parts = [
+        bytes([3, 1 if has_nibs else 0, 0, 0]),
+        states.tobytes(),
+        wcounts.astype(np.uint16).tobytes(),
+    ]
+    if has_nibs:
+        assert int(ncounts.max()) <= 0xFFFF, "lane nibble count exceeds u16"
+        parts.append(ncounts.astype(np.uint16).tobytes())
     for l in range(lanes):
         c = int(wcounts[l])
         parts.append(np.ascontiguousarray(words_emitted[l, :c][::-1]).tobytes())

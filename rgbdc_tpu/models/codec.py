@@ -921,12 +921,12 @@ class UnitedCodec:
     # executable: the decoder pads its uploaded words on-device; the encoder
     # passes a cached zero matrix (its cond branch never reads it).
     #
-    # Rate trade-off vs the compat format: 12 bytes/lane of container
-    # overhead per stream (state + word-count + nibble-count headers, v2
-    # format) plus up to one padding u16 per lane of nibble stream; at the
-    # default 128 lanes that is ~1.5 KB/stream.  The tester keeps the
-    # compat format for reference bpp parity; this path is the
-    # serving/throughput format.
+    # Rate trade-off vs the compat format: 6 bytes/lane of container
+    # overhead per stream (u32 state + u16 word count, compact v3 header;
+    # +2 B/lane of u16 nibble counts only when the stream has escapes)
+    # plus up to one padding u16 per lane of nibble stream; ~0.8 KB/stream
+    # at 128 lanes, ~3 KB at the bench's 512.  The tester keeps the compat
+    # format for reference bpp parity; this path is the serving format.
 
     LANES = int(os.environ.get("RGBDC_LANES", "128"))
     # set by shard_serving(): NamedSharding for batch-dim-sharded arrays
@@ -1386,6 +1386,29 @@ class UnitedCodec:
             rz2, dz2, r_groups, d_groups
         )
         _start_host_copy((rs, rwc, resc, ds, dwc, desc_))
+
+        def _slicer(wb):
+            slicer = getattr(self, "_word_slicers", {})
+            if wb not in slicer:
+                slicer[wb] = jax.jit(lambda w, _wb=wb: w[:, :, :_wb])
+                self._word_slicers = slicer
+            return slicer[wb]
+
+        # SPECULATIVE overlap (the link round trips are the serial tail of
+        # compress on a tunneled host): dispatch the words slice at the
+        # PREVIOUS batch's bucket width, and the escape-sideband program if
+        # the last batch had escapes, before the counts arrive — both ride
+        # the link while the counts round-trip; mispredictions re-pull.
+        wb_spec = getattr(self, "_last_wb", None)
+        spec_words = None
+        if wb_spec is not None:
+            spec_words = _start_host_copy(
+                (_slicer(wb_spec)(rwords), _slicer(wb_spec)(dwords))
+            )
+        spec_esc = None
+        if getattr(self, "_esc_likely", False):
+            spec_esc = _start_host_copy(esc_fn(rz2, dz2, r_groups, d_groups))
+
         rs, rwc, resc, ds, dwc, desc_ = jax.device_get(
             (rs, rwc, resc, ds, dwc, desc_)
         )
@@ -1397,13 +1420,14 @@ class UnitedCodec:
             )
         wb = min(-(-max(wmax_used, 1) // self.WORD_BUCKET) * self.WORD_BUCKET,
                  self.WMAX)
-        slicer = getattr(self, "_word_slicers", {})
-        if wb not in slicer:
-            slicer[wb] = jax.jit(lambda w, _wb=wb: w[:, :, :_wb])
-            self._word_slicers = slicer
-        rwords_h, dwords_h = jax.device_get(
-            (slicer[wb](rwords), slicer[wb](dwords))
-        )
+        if wb_spec is not None and wmax_used <= wb_spec:
+            wb = wb_spec
+            rwords_h, dwords_h = jax.device_get(spec_words)
+        else:
+            rwords_h, dwords_h = jax.device_get(
+                (_slicer(wb)(rwords), _slicer(wb)(dwords))
+            )
+        self._last_wb = wb
         if os.environ.get("RGBDC_DEBUG_PULL"):
             import sys
 
@@ -1417,7 +1441,8 @@ class UnitedCodec:
 
         r_esc_info = d_esc_info = None
         self.last_esc_path = None
-        if int(resc.sum()) or int(desc_.sum()):
+        self._esc_likely = bool(int(resc.sum()) or int(desc_.sum()))
+        if self._esc_likely:
             if int(max(resc.max(), desc_.max())) <= self.ESC_CAP:
                 self.last_esc_path = "sideband"
                 # normal trained-stream case: a handful of escapes — pull
@@ -1425,7 +1450,9 @@ class UnitedCodec:
                 from ..coder.rans_tpu import escape_chunks_at
 
                 (r_side, d_side) = jax.device_get(
-                    esc_fn(rz2, dz2, r_groups, d_groups)
+                    spec_esc
+                    if spec_esc is not None
+                    else esc_fn(rz2, dz2, r_groups, d_groups)
                 )
                 r_esc_info = [
                     escape_chunks_at(

@@ -118,14 +118,16 @@ class TestLaneCodec:
         assert rms < 0.05, rms
 
     def test_stream_sizes_reasonable(self):
-        """Lane container overhead (v2 format) is 12 bytes/lane of headers
-        plus up to one padding u16 per lane of nibble stream; streams must
-        not balloon vs the compat format."""
+        """Lane container overhead (compact v3 header) is 6 bytes/lane for
+        escape-free streams (u32 state + u16 word count), 8 with the u16
+        nibble counts, plus 4 header bytes and up to one padding u16 per
+        lane of nibble stream; streams must not balloon vs the compat
+        format."""
         lane = self.codec.compress_lanes(self.rgb, self.depth)
         compat = self.codec.compress(self.rgb, self.depth)
         lane_bytes = sum(len(s) for s in lane["r_streams"])
         compat_bytes = sum(len(s) for ss in compat["r_strings"] for s in ss)
-        overhead = (12 + 2) * UnitedCodec.LANES * len(lane["r_streams"])
+        overhead = ((8 + 2) * UnitedCodec.LANES + 4) * len(lane["r_streams"])
         assert lane_bytes <= compat_bytes * 1.02 + overhead
 
 
