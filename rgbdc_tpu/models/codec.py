@@ -1023,9 +1023,15 @@ class UnitedCodec:
         self._lut_d = put(jnp.asarray(_rt.build_lut(self._comb_d)))
         # dense small-row CDFs (numpy constants, ~17 KB inlined into the
         # fused programs): gather-free decode for the narrow-sigma rows a
-        # trained codec concentrates on (rans_tpu.build_small_tables)
-        self._small_r = _rt.build_small_tables(self._comb_r)
-        self._small_d = _rt.build_small_tables(self._comb_d)
+        # trained codec concentrates on (rans_tpu.build_small_tables).
+        # k_cap 40 (rows 0..26) instead of the max 66: the dense-row
+        # compare/select width is paid PER SYMBOL, and the trained
+        # checkpoint's symbols live on rows 0..21 — mid rows fall back to
+        # the packed-LUT while_loop (measured ~7% off the decode scan,
+        # tools/prof_lanes2.py k_cap sweep)
+        kcap = int(os.environ.get("RGBDC_SMALL_KCAP", "40"))
+        self._small_r = _rt.build_small_tables(self._comb_r, k_cap=kcap)
+        self._small_d = _rt.build_small_tables(self._comb_d, k_cap=kcap)
         # encode LUTs for the on-device reverse-scan encoder (64 MB each)
         self._enc_lut_r = put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
         self._enc_lut_d = put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
@@ -1234,7 +1240,13 @@ class UnitedCodec:
     def _device_encode_setup(self, b, zshape, group_lens):
         """Jitted program: concat z + y groups in coding order and run the
         on-device reverse-scan rans32 encoder for both modality streams.
-        Returns per-stream (states, wcounts, words, esc_cnt)."""
+        Returns per-stream (states, wcounts, words, esc_cnt, esc_pos,
+        esc_pack) — the last two are the COMPACTED escape sideband
+        ([b, ESC_CAP] coding positions and (idx<<16 | sym&0xffff) packs)
+        the host unpacks into bypass nibble streams, so no symbol-sized
+        tensor ever crosses the link.  Folded into the encode program (a
+        separate sideband program measured 288 ms/batch-16 re-doing the
+        symbol assembly and 256-row lookups, docs/PERF.md)."""
         key = (b, zshape, tuple(group_lens))
         cache = getattr(self, "_dev_enc_cache", {})
         if key in cache:
@@ -1248,10 +1260,11 @@ class UnitedCodec:
         off_r, off_d = self._row_off["r"], self._row_off["d"]
         mv_r, mv_d = self._row_maxv["r"], self._row_maxv["d"]
         wcap = self.WMAX
+        cap = self.ESC_CAP
 
         def small_take(table_np, idx):
-            # 256-entry lookup as compare-sums: gathers are element-bound
-            # on this TPU (~10 ns/elem); 256 fused scalar compares are ~ms
+            # y-row lookup as compare-sums: gathers are element-bound on
+            # this TPU (~10 ns/elem); 64 fused scalar compares are cheaper
             out = jnp.zeros(idx.shape, jnp.int32)
             for j, tv in enumerate(table_np):
                 out = out + jnp.where(idx == j, jnp.int32(tv), 0)
@@ -1262,21 +1275,43 @@ class UnitedCodec:
             zi = jnp.broadcast_to(
                 jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
             ).reshape(b, -1)
-            sym = jnp.concatenate(
-                [z16] + [g[0].reshape(b, -1) for g in groups], axis=1
+            y_sym = jnp.concatenate([g[0].reshape(b, -1) for g in groups], axis=1)
+            y_idx = jnp.concatenate(
+                [g[1].reshape(b, -1).astype(jnp.int32) for g in groups], axis=1
             )
-            idx = jnp.concatenate(
-                [zi] + [g[1].reshape(b, -1).astype(jnp.int32) for g in groups],
-                axis=1,
+            # escape detection, split by table structure: z rows are just
+            # 64 + channel, so (offset, maxv) broadcast per channel with
+            # no lookup at all; y rows need only the 64 gaussian entries
+            zv = jnp.clip(z_sym, -32768, 32767).astype(jnp.int32) - jnp.asarray(
+                off_np[64 : 64 + n]
             )
-            value = sym.astype(jnp.int32) - small_take(off_np, idx)
-            esc = (value < 0) | (value >= small_take(mv_np, idx))
+            esc_z = (zv < 0) | (zv >= jnp.asarray(mv_np[64 : 64 + n]))
+            yv = y_sym.astype(jnp.int32) - small_take(off_np[:64], y_idx)
+            esc_y = (yv < 0) | (yv >= small_take(mv_np[:64], y_idx))
+            esc = jnp.concatenate([esc_z.reshape(b, -1), esc_y], axis=1)
             esc_cnt = jnp.sum(esc, axis=1, dtype=jnp.int32)
+
+            sym = jnp.concatenate([z16, y_sym], axis=1)
+            idx = jnp.concatenate([zi, y_idx], axis=1)
+            t = sym.shape[1]
+            # compacted sideband: exclusive-prefix positions -> 2 scatters
+            pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(jnp.int32)
+            tgt = jnp.where(esc, pos, cap)
+            bi = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, t))
+            gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+            pack = (idx << 16) | (sym.astype(jnp.int32) & 0xFFFF)
+            esc_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
+                gpos, mode="drop"
+            )
+            esc_pack = jnp.zeros((b, cap), jnp.int32).at[bi, tgt].set(
+                pack, mode="drop"
+            )
+
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
                 small=small,
             )
-            return states, wcounts, words, esc_cnt
+            return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 
         small_r, small_d = self._small_r, self._small_d
 
@@ -1290,59 +1325,9 @@ class UnitedCodec:
         fn = lambda rz, dz, rg, dg: jrun(
             rz, dz, rg, dg, self._enc_lut_r, self._enc_lut_d
         )
-
-        # escape sideband (compiled lazily, dispatched only on batches whose
-        # esc_cnt > 0): compacts the rare out-of-range symbols into
-        # [b, ESC_CAP] (position, symbol, cdf-row) triples so the host can
-        # build the bypass nibble streams WITHOUT pulling the full 3 B/sym
-        # wire tensors — the pull is ~100 KB instead of ~40 MB.
-        cap = self.ESC_CAP
-
-        def sym_idx(z_sym, groups):
-            z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
-            zi = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
-            ).reshape(b, -1)
-            sym = jnp.concatenate(
-                [z16] + [g[0].reshape(b, -1) for g in groups], axis=1
-            )
-            idx = jnp.concatenate(
-                [zi] + [g[1].reshape(b, -1).astype(jnp.int32) for g in groups],
-                axis=1,
-            )
-            return sym, idx
-
-        def esc_one(z_sym, groups, off_np, mv_np):
-            sym, idx = sym_idx(z_sym, groups)
-            value = sym.astype(jnp.int32) - small_take(off_np, idx)
-            esc = (value < 0) | (value >= small_take(mv_np, idx))
-            t = sym.shape[1]
-            pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(jnp.int32)
-            tgt = jnp.where(esc, pos, cap)
-            bi = jnp.broadcast_to(
-                jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)
-            )
-            gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
-            out_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
-                gpos, mode="drop"
-            )
-            out_sym = jnp.zeros((b, cap), jnp.int16).at[bi, tgt].set(
-                sym, mode="drop"
-            )
-            out_idx = jnp.zeros((b, cap), jnp.uint8).at[bi, tgt].set(
-                idx.astype(jnp.uint8), mode="drop"
-            )
-            return out_pos, out_sym, out_idx
-
-        jesc = jax.jit(
-            lambda rz, dz, rg, dg: (
-                esc_one(rz, rg, off_r, mv_r),
-                esc_one(dz, dg, off_d, mv_d),
-            )
-        )
-        cache[key] = (fn, all_lens, jesc)
+        cache[key] = (fn, all_lens)
         self._dev_enc_cache = cache
-        return fn, all_lens, jesc
+        return fn, all_lens
 
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
@@ -1381,11 +1366,12 @@ class UnitedCodec:
         d_y_hat = jnp.concatenate(d_prev, axis=-1)
         y_lens = [int(np.prod(g[0].shape[1:])) for g in r_groups]
         zshape = (int(rz_sym.shape[1]), int(rz_sym.shape[2]))
-        enc_fn, all_lens, esc_fn = self._device_encode_setup(b, zshape, y_lens)
-        (rs, rwc, rwords, resc), (ds, dwc, dwords, desc_) = enc_fn(
+        enc_fn, all_lens = self._device_encode_setup(b, zshape, y_lens)
+        ((rs, rwc, rwords, resc, rpos, rpack),
+         (ds, dwc, dwords, desc_, dpos, dpack)) = enc_fn(
             rz2, dz2, r_groups, d_groups
         )
-        _start_host_copy((rs, rwc, resc, ds, dwc, desc_))
+        _start_host_copy((rs, rwc, resc, rpos, rpack, ds, dwc, desc_, dpos, dpack))
 
         def _slicer(wb):
             slicer = getattr(self, "_word_slicers", {})
@@ -1396,18 +1382,15 @@ class UnitedCodec:
 
         # SPECULATIVE overlap (the link round trips are the serial tail of
         # compress on a tunneled host): dispatch the words slice at the
-        # PREVIOUS batch's bucket width, and the escape-sideband program if
-        # the last batch had escapes, before the counts arrive — both ride
-        # the link while the counts round-trip; mispredictions re-pull.
+        # PREVIOUS batch's bucket width before the counts arrive — the
+        # transfer rides the link while the counts round-trip; a
+        # misprediction just re-pulls at the right width.
         wb_spec = getattr(self, "_last_wb", None)
         spec_words = None
         if wb_spec is not None:
             spec_words = _start_host_copy(
                 (_slicer(wb_spec)(rwords), _slicer(wb_spec)(dwords))
             )
-        spec_esc = None
-        if getattr(self, "_esc_likely", False):
-            spec_esc = _start_host_copy(esc_fn(rz2, dz2, r_groups, d_groups))
 
         rs, rwc, resc, ds, dwc, desc_ = jax.device_get(
             (rs, rwc, resc, ds, dwc, desc_)
@@ -1441,33 +1424,32 @@ class UnitedCodec:
 
         r_esc_info = d_esc_info = None
         self.last_esc_path = None
-        self._esc_likely = bool(int(resc.sum()) or int(desc_.sum()))
-        if self._esc_likely:
+        if int(resc.sum()) or int(desc_.sum()):
             if int(max(resc.max(), desc_.max())) <= self.ESC_CAP:
                 self.last_esc_path = "sideband"
-                # normal trained-stream case: a handful of escapes — pull
-                # the compacted (position, symbol, row) sideband (~100 KB)
+                # normal trained-stream case: a handful of escapes — the
+                # compacted (position, idx<<16|sym) sideband came along
+                # with the main outputs (~100 KB, already in flight)
                 from ..coder.rans_tpu import escape_chunks_at
 
-                (r_side, d_side) = jax.device_get(
-                    spec_esc
-                    if spec_esc is not None
-                    else esc_fn(rz2, dz2, r_groups, d_groups)
+                rpos_h, rpack_h, dpos_h, dpack_h = jax.device_get(
+                    (rpos, rpack, dpos, dpack)
                 )
-                r_esc_info = [
-                    escape_chunks_at(
-                        r_side[0][i][: resc[i]], r_side[1][i][: resc[i]],
-                        r_side[2][i][: resc[i]], self._comb_r,
-                    )
-                    for i in range(b)
-                ]
-                d_esc_info = [
-                    escape_chunks_at(
-                        d_side[0][i][: desc_[i]], d_side[1][i][: desc_[i]],
-                        d_side[2][i][: desc_[i]], self._comb_d,
-                    )
-                    for i in range(b)
-                ]
+
+                def side_info(pos_h, pack_h, cnts, table):
+                    out = []
+                    for i in range(b):
+                        c = int(cnts[i])
+                        pk = pack_h[i][:c]
+                        sym = (pk & 0xFFFF).astype(np.uint16).view(np.int16)
+                        idx = (pk >> 16).astype(np.uint8)
+                        out.append(
+                            escape_chunks_at(pos_h[i][:c], sym, idx, table)
+                        )
+                    return out
+
+                r_esc_info = side_info(rpos_h, rpack_h, resc, self._comb_r)
+                d_esc_info = side_info(dpos_h, dpack_h, desc_, self._comb_d)
             else:
                 # pathological stream (untrained model / adversarial
                 # content): fall back to the full wire-tensor pull

@@ -70,15 +70,12 @@ fl = t("  fused flow enc (synced)", lambda: (
                     jnp.asarray(False))))
 rz2, dz2, r_groups, d_groups, _, _ = fl
 y_lens = [int(np.prod(g[0].shape[1:])) for g in r_groups]
-enc_fn, all_lens, esc_fn = codec._device_encode_setup(
+enc_fn, all_lens = codec._device_encode_setup(
     batch, (int(rz.shape[1]), int(rz.shape[2])), y_lens
 )
-t("  enc scans both mods (synced)", lambda: (
+t("  enc scans+sideband both mods (synced)", lambda: (
     lambda r: (sync1(r[0][0]), r)[1]
 )(enc_fn(rz2, dz2, r_groups, d_groups)))
-t("  esc sideband program (synced)", lambda: (
-    lambda r: (sync1(r[0][0]), r)[1]
-)(esc_fn(rz2, dz2, r_groups, d_groups)))
 
 st = t("  stack+upload (synced)", lambda: (
     lambda a: (sync1(a[0][0]), a)[1]

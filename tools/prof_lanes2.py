@@ -69,3 +69,26 @@ for LANES in (128, 256, 512, 1024):
 
     timeit("device encode", jax.jit(enc), sym_d, idx_d, enc_lut,
            sync=lambda o: np.asarray(o[0][:1, :1]))
+
+# k_cap sweep at the serving lane count: narrower dense rows cut the
+# per-symbol compare/select width for EVERY symbol; mid rows fall back to
+# the packed-LUT while_loop (gathers measured ~free in the nofetch probe)
+LANES = 512
+streams = [lanes_encode(sym[i], idx[i], [NSYM], gc, lanes=LANES) for i in range(B)]
+split = [lanes_split(s, LANES) for s in streams]
+w = -(-max(s[1].shape[1] for s in split) // 64) * 64
+bw = max(max(s[2].shape[1] for s in split), 1)
+states = jnp.asarray(np.stack([s[0] for s in split]))
+words = jnp.asarray(np.stack([np.pad(s[1], ((0, 0), (0, w - s[1].shape[1]))) for s in split]))
+byps = jnp.asarray(np.stack([np.pad(s[2], ((0, 0), (0, bw - s[2].shape[1]))) for s in split]))
+for kcap in (66, 40, 28):
+    sm = rt.build_small_tables(gc, k_cap=kcap)
+    print(f"k_cap={kcap}: r_small={sm[3] if sm else None}", flush=True)
+
+    def dec(state, words, byps, idx, lut, _sm=sm):
+        carry = rt.init_lane_state(state)
+        _, flat = rt.decode_group(carry, words, byps, idx, lut, LANES, small=_sm)
+        return flat
+
+    out = timeit(f"decode k{kcap}", jax.jit(dec), states, words, byps, idx_d, lut)
+    print("    exact:", np.array_equal(np.asarray(out, np.int16), sym), flush=True)
