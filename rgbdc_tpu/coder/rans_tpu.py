@@ -248,16 +248,25 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
     if lut_mode and small is not None:
         cdf_s, off_s, maxv_s, r_small = small
         is_small = idx_row < r_small
-        # one-hot row materialization: [*, r] @ [r, k] on the MXU; 16-bit
-        # cdf values are exact in f32, one-hot products/sums are exact
+        # one-hot row materialization: [*, r] @ [r, k+2] on the MXU; 16-bit
+        # cdf values are exact in f32, one-hot products/sums are exact.
+        # The per-row offset and maxv ride as two EXTRA COLUMNS of the same
+        # matmul instead of two separate one-hot reductions.
         oh = (idx_row[..., None] == jnp.arange(r_small, dtype=jnp.int32)).astype(
             jnp.float32
         )
-        row = jax.lax.dot_general(
-            oh, jnp.asarray(cdf_s),
+        aug = np.concatenate(
+            [np.asarray(cdf_s), np.asarray(off_s)[:, None],
+             np.asarray(maxv_s)[:, None]], axis=1,
+        )
+        rowx = jax.lax.dot_general(
+            oh, jnp.asarray(aug),
             (((oh.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )  # [*, k_cap]
+        )  # [*, k_cap + 2]
+        row = rowx[..., :-2]
+        off_sm = rowx[..., -2]
+        maxv_sm = rowx[..., -1]
         cumf = cum.astype(jnp.float32)[..., None]
         # ONE compare mask gives all three quantities (the row is strictly
         # increasing, 16-bit values exact in f32): the symbol is the count
@@ -269,8 +278,6 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
         start_sm = jnp.max(jnp.where(le, row, 0.0), axis=-1)
         nxt_sm = jnp.min(jnp.where(le, jnp.float32(1 << 20), row), axis=-1)
         freq_sm = nxt_sm - start_sm
-        off_sm = jnp.sum(oh * jnp.asarray(off_s), axis=-1)
-        maxv_sm = jnp.sum(oh * jnp.asarray(maxv_s), axis=-1)
         esc_sm = s_sm.astype(jnp.float32) == maxv_sm
         value_sm = jnp.where(esc_sm, maxv_sm, s_sm.astype(jnp.float32)) + off_sm
 
@@ -533,13 +540,18 @@ def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
         oh = (safe_idx[..., None] == jnp.arange(r_small, dtype=jnp.int32)).astype(
             jnp.float32
         )
-        row = jax.lax.dot_general(
-            oh, jnp.asarray(cdf_s),
+        aug = np.concatenate(
+            [np.asarray(cdf_s), np.asarray(off_s)[:, None],
+             np.asarray(maxv_s)[:, None]], axis=1,
+        )
+        rowx = jax.lax.dot_general(
+            oh, jnp.asarray(aug),
             (((oh.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )
-        off_sm = jnp.sum(oh * jnp.asarray(off_s), axis=-1).astype(jnp.int32)
-        maxv_sm = jnp.sum(oh * jnp.asarray(maxv_s), axis=-1).astype(jnp.int32)
+        )  # offset/maxv ride as two extra columns of the one matmul
+        row = rowx[..., :-2]
+        off_sm = rowx[..., -2].astype(jnp.int32)
+        maxv_sm = rowx[..., -1].astype(jnp.int32)
         v = sym_row.astype(jnp.int32) - off_sm
         # out-of-range on either side codes the escape symbol (row maxv)
         v = jnp.where((v >= 0) & (v < maxv_sm), v, maxv_sm)
