@@ -335,6 +335,10 @@ def lanes_encode(
         )
         if nbytes >= 0:
             return out[:nbytes].tobytes()
+        if -nbytes <= capacity:
+            # not a capacity hint: a real encode error (e.g. -3 = a lane's
+            # word/nibble count exceeds the u16 container field)
+            raise RuntimeError(f"rans32_lanes_encode failed with code {nbytes}")
         capacity = -nbytes
 
 

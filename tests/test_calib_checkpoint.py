@@ -61,11 +61,30 @@ def trained_codec():
 
 
 class TestTrainedCheckpoint:
-    def test_file_bpp_matches_forward_bpp(self, trained_codec):
-        """Compat-format coded size vs continuous-likelihood estimate: a
-        trained codec escapes rarely, so the quantized coder must land
-        within 0.5% + per-stream constants of the forward estimate."""
+    def test_file_bpp_calibrated(self, trained_codec):
+        """File size vs the model's rate, at trained statistics.
+
+        Two assertions:
+        1. The file matches the DISCRETE cross-entropy of the actual
+           (symbol, cdf-row) streams under the coder's quantized tables to
+           0.5% + container constants — the true coder-calibration gate
+           (any CDF/quantization miscalibration fails it).
+        2. The file never exceeds the estimation forward's
+           continuous-likelihood bpp by more than 0.5% + constants
+           (one-sided).  It CAN undershoot it: build_indexes rounds sigma
+           UP to the next of 64 log-spaced table rows (~13%/step), and for
+           the small sigmas an overfit checkpoint predicts, p(+-1) roughly
+           doubles per step while p(0) barely moves — so the rare nonzero
+           residuals (where all the measured rate lives) code ~1 bit
+           cheaper than the exact-sigma estimate.  Measured here: file
+           0.181 vs estimate 0.215 bpp.  The reference inherits the same
+           ceiling quantization (CompressAI scale-table indexing), so this
+           is parity behavior, not a defect."""
+        import jax
         import jax.numpy as jnp
+
+        from test_rd_parity_codec import expected_bits
+        from rgbdc_tpu.models.codec import eb_channel_indexes
 
         model, variables, codec, rgb, depth = trained_codec
         h, w = rgb.shape[1:3]
@@ -76,15 +95,30 @@ class TestTrainedCheckpoint:
                 sum(-jnp.sum(jnp.log2(v)) for v in liks.values()) / (h * w)
             )
 
+        (rz_sym, dz_sym, (r_packed, _), (d_packed, _), _, _) = (
+            codec._encode_stage_flow(rgb, depth)
+        )
+        rz, dz, (r_sym, r_idx), (d_sym, d_idx) = jax.device_get(
+            (rz_sym, dz_sym, r_packed, d_packed)
+        )
+        z_idx = eb_channel_indexes(rz.shape)
         comp = codec.compress(rgb, depth)
-        for key, est_key in (("r_strings", "r_likelihoods"),
-                             ("d_strings", "d_likelihoods")):
-            est = bpp_est(out[est_key])
-            nbytes = sum(len(s) for s in comp[key][0])
-            actual = nbytes * 8 / (h * w)
-            # 0.5% + flush/container constants (two rANS streams ~48 B)
-            slack = 0.005 * est + 48 * 8 / (h * w)
-            assert abs(actual - est) <= slack, (key, actual, est)
+        for key, est_key, y, yi, z, eb_name in (
+            ("r_strings", "r_likelihoods", r_sym, r_idx, rz,
+             "rgb_entropy_bottleneck"),
+            ("d_strings", "d_likelihoods", d_sym, d_idx, dz,
+             "depth_entropy_bottleneck"),
+        ):
+            nbits = 8 * sum(len(s) for s in comp[key][0])
+            exp = expected_bits(y[0], yi[0], codec.tables.gc) + expected_bits(
+                np.clip(z[0], -32768, 32767), z_idx[0],
+                codec.tables.eb[eb_name],
+            )
+            assert abs(nbits - exp) <= 0.005 * exp + 64 * 8, (
+                key, nbits, exp, nbits / exp,
+            )
+            est_bits = bpp_est(out[est_key]) * h * w
+            assert nbits <= est_bits * 1.005 + 64 * 8, (key, nbits, est_bits)
 
     def test_fallback_path_exercised_live_sigma(self, trained_codec):
         """Trained sigma predictions are live -> the lane encoder's compact
