@@ -231,6 +231,11 @@ class TestDeviceEncodePath:
         side.ESC_CAP = 1 << 16  # force the compacted-sideband path
         out_s = side.compress_lanes(rgb, depth)
         assert side.last_esc_path == "sideband"
+        # second compress takes the SPECULATIVE words pull (previous
+        # batch's bucket width) — streams must be identical
+        out_s2 = side.compress_lanes(rgb, depth)
+        assert out_s2["r_streams"] == out_s["r_streams"]
+        assert out_s2["d_streams"] == out_s["d_streams"]
 
         full = UnitedCodec(model, v)
         full.ESC_CAP = 0  # force the full-pull fallback
