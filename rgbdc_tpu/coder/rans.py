@@ -407,6 +407,40 @@ def lanes_split(data: bytes, lanes: int = 128):
     return states, words, nwords
 
 
+def lanes_split_flat(data: bytes, lanes: int = 128):
+    """Flat-layout variant of ``lanes_split``: returns (states u32[lanes],
+    wflat u16[n], wbase i32[lanes], nibflat u16[m], nibbase i32[lanes]).
+
+    The container payload is ALREADY lane-major flat in consume order, so
+    this is just views + cumsums — no per-lane unflatten loop, and the
+    upload carries the stream's exact bytes instead of per-lane padded
+    rows (the decoder inits each lane's word/nibble cursor at its base
+    offset; see models/codec.py RGBDC_FLAT_UPLOAD)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    assert buf[0] == 3, f"unknown lane-container version {buf[0]}"
+    has_nibs = bool(buf[1] & 1)
+    off = 4
+    states = buf[off : off + 4 * lanes].view(np.uint32).copy()
+    off += 4 * lanes
+    wcounts = buf[off : off + 2 * lanes].view(np.uint16).astype(np.int64)
+    off += 2 * lanes
+    if has_nibs:
+        ncounts = buf[off : off + 2 * lanes].view(np.uint16).astype(np.int64)
+        off += 2 * lanes
+    else:
+        ncounts = np.zeros(lanes, np.int64)
+    nwcounts = (ncounts + 3) // 4
+    rest = buf[off:].view(np.uint16)
+    nw = int(wcounts.sum())
+    wflat = rest[:nw].copy()
+    nibflat = rest[nw : nw + int(nwcounts.sum())].copy()
+    wbase = np.zeros(lanes, np.int32)
+    wbase[1:] = np.cumsum(wcounts[:-1]).astype(np.int32)
+    nibbase = np.zeros(lanes, np.int32)
+    nibbase[1:] = np.cumsum(nwcounts[:-1]).astype(np.int32)
+    return states, wflat, wbase, nibflat, nibbase
+
+
 def assemble_lanes_container(states, wcounts, words_emitted, nib_streams):
     """Build a lane-split container (compact v3 header, see lanes_split)
     from the ON-DEVICE encoder's outputs (coder/rans_tpu.py encode_groups):

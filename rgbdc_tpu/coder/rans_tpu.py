@@ -175,6 +175,13 @@ def init_lane_state(states: jnp.ndarray) -> LaneState:
 
 
 def _fetch_word(words, pos):
+    if words.ndim == pos.ndim:
+        # flat layout [..., Wtotal]: pos carries each lane's base offset
+        # (init_lane_state was seeded with the per-lane word bases)
+        w = jnp.take_along_axis(
+            words, jnp.clip(pos, 0, words.shape[-1] - 1), axis=-1
+        )
+        return w.astype(jnp.uint32)
     w = jnp.take_along_axis(
         words, jnp.clip(pos, 0, words.shape[-1] - 1)[..., None], axis=-1
     )[..., 0]
@@ -191,10 +198,17 @@ def _renorm(state, pos, words, mask):
 
 def _get_nibble(byp, nib, mask):
     """Pop one 4-bit bypass chunk per masked lane from the packed nibble
-    matrix (v2 format); returns (val i32, nib)."""
-    w = jnp.take_along_axis(
-        byp, jnp.clip(nib >> 2, 0, byp.shape[-1] - 1)[..., None], axis=-1
-    )[..., 0].astype(jnp.int32)
+    matrix (v2 format); returns (val i32, nib).  With a flat byp layout
+    (ndim == nib.ndim) the cursor carries the lane's nibble base (4x its
+    u16-word base)."""
+    if byp.ndim == nib.ndim:
+        w = jnp.take_along_axis(
+            byp, jnp.clip(nib >> 2, 0, byp.shape[-1] - 1), axis=-1
+        ).astype(jnp.int32)
+    else:
+        w = jnp.take_along_axis(
+            byp, jnp.clip(nib >> 2, 0, byp.shape[-1] - 1)[..., None], axis=-1
+        )[..., 0].astype(jnp.int32)
     val = (w >> (4 * (nib & 3))) & 0xF
     val = jnp.where(mask, val, 0)
     nib = nib + mask.astype(jnp.int32)
@@ -227,7 +241,8 @@ def _sext(x, bits):
     return (x ^ m) - m
 
 
-def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
+def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
+                has_big=None):
     """Decode one lockstep row: every active lane pops one symbol.
 
     tbl is either a DeviceCdfTable (binary-search mode) or a packed
@@ -300,8 +315,12 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None):
             pair = jax.lax.gather(tbl, pos16[..., None], dn, slice_sizes=(1, 2))
             return (jnp.asarray(False), pair[..., 0], pair[..., 1])
 
+        # the trigger is precomputable from the (input) index rows — when
+        # the caller passes it, the per-row cross-lane any() reduction
+        # drops out of the scan body entirely
+        trig = jnp.any(big) if has_big is None else has_big
         _, w0, w1 = jax.lax.while_loop(
-            g_cond, g_body, (jnp.any(big), zeros_u, zeros_u)
+            g_cond, g_body, (trig, zeros_u, zeros_u)
         )
         esc_big = (w0 >> 31).astype(bool)
         value_big = _sext((w0 & MASK16).astype(jnp.int32), 16)
@@ -423,11 +442,25 @@ def decode_group(
         (steps,) + lead + (lanes,),
     )
 
-    def step(c, xs):
-        idx_row, act = xs
-        return _decode_row(c, words, byp, idx_row, act, tbl, small=small)
+    if small is not None and not isinstance(tbl, DeviceCdfTable):
+        # precompute the per-row big-row trigger from the (input) indexes
+        # so the scan body carries no cross-lane any() for it
+        r_small = small[3]
+        hb_rows = jnp.any(
+            (idx_rows >= r_small) & act_rows,
+            axis=tuple(range(1, idx_rows.ndim)),
+        )
+    else:
+        hb_rows = jnp.zeros((steps,), bool)  # unused
 
-    carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows))
+    def step(c, xs):
+        idx_row, act, hb = xs
+        return _decode_row(
+            c, words, byp, idx_row, act, tbl, small=small,
+            has_big=(hb if small is not None else None),
+        )
+
+    carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))
     inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
     syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
     return carry, syms
@@ -524,15 +557,26 @@ def escape_chunks_at(pos: np.ndarray, sym: np.ndarray, idx: np.ndarray,
     return out
 
 
-def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
+def _encode_row(carry, lut, idx_row, sym_row, act, small=None, has_big=None):
     """One reverse lockstep row: each active lane pushes one symbol.
 
     With ``small`` (build_small_tables output) the (start, freq) lookup
     for narrow rows is gather-free: one-hot matmul over the dense CDF
     constant + position selects (symbol -> value is known on the encoder,
     so no cum search is needed); the enc-LUT gather runs in a while_loop
-    only on rows where some lane's index is outside the small prefix."""
-    state, wpos, words = carry
+    only on rows where some lane's index is outside the small prefix.
+
+    Two carry layouts (see encode_groups scan_out):
+      (state, wpos, words) — classic: masked scatter into the HBM-resident
+        word buffer every row; returns (carry, None).
+      state only — scan-output mode: the emitted word + emit flag are
+        RETURNED as this row's ys and compacted after the scan; the carry
+        is one [B, lanes] u32 (VMEM-resident)."""
+    scan_out = not isinstance(carry, tuple)
+    if scan_out:
+        state = carry
+    else:
+        state, wpos, words = carry
     safe_idx = jnp.where(act, idx_row, 0)
     if small is not None:
         cdf_s, off_s, maxv_s, r_small = small
@@ -576,7 +620,8 @@ def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
             )
             return (jnp.asarray(False), jnp.take(lut, key))
 
-        _, sf = jax.lax.while_loop(g_cond, g_body, (jnp.any(big), zeros_u))
+        trig = jnp.any(big) if has_big is None else has_big
+        _, sf = jax.lax.while_loop(g_cond, g_body, (trig, zeros_u))
         start = jnp.where(
             is_small, start_sm.astype(jnp.uint32), (sf & MASK16).astype(jnp.uint32)
         )
@@ -590,24 +635,27 @@ def _encode_row(carry, lut, idx_row, sym_row, act, small=None):
 
     emit = act & (state >= (freq << 16))
     word = (state & MASK16).astype(jnp.uint16)
-    lead = state.shape[:-1]
-    bidx = jnp.broadcast_to(
-        jnp.arange(state.shape[0], dtype=jnp.int32)[:, None], state.shape
-    ) if len(lead) == 1 else None
-    lidx = jnp.broadcast_to(
-        jnp.arange(state.shape[-1], dtype=jnp.int32), state.shape
-    )
-    # masked scatter: inactive lanes write (harmlessly) to their current
-    # slot with their existing word? No — use mode=drop via an OOB index.
-    tgt = jnp.where(emit, wpos, jnp.full_like(wpos, words.shape[-1]))
-    words = words.at[bidx, lidx, tgt].set(word, mode="drop")
+    if not scan_out:
+        lead = state.shape[:-1]
+        bidx = jnp.broadcast_to(
+            jnp.arange(state.shape[0], dtype=jnp.int32)[:, None], state.shape
+        ) if len(lead) == 1 else None
+        lidx = jnp.broadcast_to(
+            jnp.arange(state.shape[-1], dtype=jnp.int32), state.shape
+        )
+        # masked scatter: inactive lanes write (harmlessly) to their current
+        # slot with their existing word? No — use mode=drop via an OOB index.
+        tgt = jnp.where(emit, wpos, jnp.full_like(wpos, words.shape[-1]))
+        words = words.at[bidx, lidx, tgt].set(word, mode="drop")
+        wpos = wpos + emit.astype(jnp.int32)
     state = jnp.where(emit, state >> 16, state)
-    wpos = wpos + emit.astype(jnp.int32)
 
     q = state // freq
     r = state - q * freq
     nstate = (q << 16) + r + start
     state = jnp.where(act, nstate, state)
+    if scan_out:
+        return state, (word, emit)
     return (state, wpos, words), None
 
 
@@ -620,6 +668,7 @@ def encode_groups(
     wcap: int = 4096,
     small=None,
     unroll: int = 4,
+    scan_out: bool = False,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -635,7 +684,15 @@ def encode_groups(
     stayed flat, tools/prof_lanes2.py) — so each scan step processes
     ``unroll`` consecutive rows back-to-back, cutting the serial step
     count 4x WITHOUT widening the wire format (more lanes would cost 12
-    B/lane/stream of container header)."""
+    B/lane/stream of container header).
+
+    scan_out=True moves word emission out of the scan: each row RETURNS
+    (word, emit) as scan ys instead of scattering into a [B, lanes, wcap]
+    carry (13 MB at bench shapes — HBM-resident, one read-modify-write
+    per step).  The carry shrinks to the [B, lanes] u32 state alone and
+    the per-lane streams are rebuilt afterwards with ONE big scatter over
+    an exclusive row-cumsum of the emit bitmap.  Bit-identical output by
+    construction (same emission order, same compaction targets)."""
     b, total = sym.shape
     assert group_lens is not None and int(np.sum(group_lens)) == total
     idx_rows, sym_rows, act_rows = [], [], []
@@ -679,18 +736,65 @@ def encode_groups(
     idx_r = idx_r.reshape(shp)
     sym_r = sym_r.reshape(shp)
     act_r = act_r.reshape(shp)
+    if small is not None:
+        # per-row big-row trigger, precomputed from the input indexes so
+        # the scan body carries no cross-lane any() (see _decode_row)
+        hb_r = jnp.any((idx_r >= small[3]) & act_r, axis=(2, 3))
+    else:
+        hb_r = jnp.zeros((nsteps, k), bool)  # unused
 
     state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
+
+    def row_hb(j, hb_k):
+        return hb_k[j] if small is not None else None
+
+    if scan_out:
+        def step_o(c, xs):
+            i_k, s_k, a_k, hb_k = xs
+            ws, es = [], []
+            for j in range(k):
+                c, (w, e) = _encode_row(
+                    c, enc_lut, i_k[j], s_k[j], a_k[j], small=small,
+                    has_big=row_hb(j, hb_k),
+                )
+                ws.append(w)
+                es.append(e)
+            return c, (jnp.stack(ws), jnp.stack(es))
+
+        state, (words_o, emit_o) = jax.lax.scan(
+            step_o, state0, (idx_r, sym_r, act_r, hb_r)
+        )
+        nrows = nsteps * k
+        words_o = words_o.reshape(nrows, b, lanes)
+        emit_o = emit_o.reshape(nrows, b, lanes)
+        ecnt = emit_o.astype(jnp.int32)
+        wpos = jnp.sum(ecnt, axis=0)
+        # exclusive cumsum over rows = each emitted word's slot in its lane
+        tgt = jnp.cumsum(ecnt, axis=0) - ecnt
+        # one flat scatter; non-emitting rows aim past wcap and drop
+        stride = wcap + 1
+        li = jnp.arange(lanes, dtype=jnp.int32)
+        bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+        base = (bi * lanes + li) * stride  # [b, lanes]
+        flat_idx = base[None] + jnp.where(emit_o, jnp.minimum(tgt, wcap), wcap)
+        flat = jnp.zeros(b * lanes * stride, jnp.uint16)
+        flat = flat.at[flat_idx.reshape(-1)].set(
+            words_o.reshape(-1), mode="drop"
+        )
+        words = flat.reshape(b, lanes, stride)[..., :wcap]
+        return state, wpos, words
+
     wpos0 = jnp.zeros((b, lanes), jnp.int32)
     words0 = jnp.zeros((b, lanes, wcap), jnp.uint16)
 
     def step(c, xs):
-        i_k, s_k, a_k = xs
+        i_k, s_k, a_k, hb_k = xs
         for j in range(k):
-            c, _ = _encode_row(c, enc_lut, i_k[j], s_k[j], a_k[j], small=small)
+            c, _ = _encode_row(c, enc_lut, i_k[j], s_k[j], a_k[j], small=small,
+                               has_big=row_hb(j, hb_k))
         return c, None
 
     (state, wpos, words), _ = jax.lax.scan(
-        step, (state0, wpos0, words0), (idx_r, sym_r, act_r)
+        step, (state0, wpos0, words0), (idx_r, sym_r, act_r, hb_r)
     )
     return state, wpos, words

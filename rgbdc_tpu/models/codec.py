@@ -994,6 +994,15 @@ class UnitedCodec:
         self._rt = _rt
         self._lanes_encode = lanes_encode
         self._lanes_split = lanes_split
+        # flat device wire layout (RGBDC_FLAT_UPLOAD=1): words/nibbles
+        # upload as ONE lane-major flat array per stream (the container's
+        # native payload order) instead of per-lane bucket-padded rows —
+        # ~4x fewer h2d bytes at trained stream sizes; each lane's cursor
+        # starts at its base offset.  Must be consistent across
+        # compress/decompress of one codec instance: the fused executables
+        # are shape-specialized, and the enc/dec closure requires both
+        # sides to drive the SAME executable.
+        self._flat_upload = os.environ.get("RGBDC_FLAT_UPLOAD", "0") == "1"
         # combined tables: rows [0,64) = gaussian conditional, rows [64,..)
         # = the modality's entropy bottleneck (z indexes = 64 + channel)
         self._comb_r = _rt.combine_tables(
@@ -1069,6 +1078,38 @@ class UnitedCodec:
 
         small_r, small_d = self._small_r, self._small_d
 
+        # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
+        # the fused stage programs' context/aggregation convs run in bf16.
+        # The enc/dec bit-exact closure is untouched BY CONSTRUCTION —
+        # encoder and decoder call the SAME compiled executables, so both
+        # sides see identical (bf16-computed) mu/sigma and identical CDF
+        # row choices.  Rate/quality cost is a slightly coarser sigma
+        # (rows are 13% apart; bf16 is ~0.4% relative) and a mu grid
+        # shift that cancels in sym + mu; measure with
+        # tools/check_bf16_quality.py before relying on it.
+        flow16 = os.environ.get("RGBDC_BF16_FLOW", "0") == "1"
+
+        def _to16(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+
+        def _to32(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                else x,
+                t,
+            )
+
+        def sapply(v, *args, method):
+            if not flow16:
+                return model.apply(v, *args, method=method)
+            return _to32(model.apply(_to16(v), *_to16(args), method=method))
+
         def dec_group(st3, words, byp, lut, idx, small=None):
             b = idx.shape[0]
             carry = _rt.LaneState(*st3)
@@ -1100,7 +1141,7 @@ class UnitedCodec:
                 lambda: dec_mod(d_st3, d_words, d_byp, lut_d),
                 lambda: (d_st3, dz_enc),
             )
-            rh, dh = model.apply(v, rz, dz, method=mt.hyper_decode)
+            rh, dh = sapply(v, rz, dz, method=mt.hyper_decode)
             return r_st3, d_st3, rz, dz, rh, dh
 
         def fused_slice(v, i, r_prev, d_prev, rh, dh, rgb_y, depth_y,
@@ -1108,7 +1149,7 @@ class UnitedCodec:
                         is_decode, lut_r, lut_d):
             """One slice of the 4-group schedule: stage params + symbol
             source (scan decode OR quantize-from-y) for all four groups."""
-            idx1, r_mn_a, init = model.apply(
+            idx1, r_mn_a, init = sapply(
                 v, i, r_prev, d_prev, rh, dh, st, method=mt.stage_rgb_anchor
             )
             r_st3, r_sym_a = jax.lax.cond(
@@ -1117,7 +1158,7 @@ class UnitedCodec:
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)),
             )
-            idx2, d_mn_a, r_anchor_hat, r_local = model.apply(
+            idx2, d_mn_a, r_anchor_hat, r_local = sapply(
                 v, i, r_sym_a, r_mn_a, init, st, method=mt.stage_depth_anchor
             )
             d_st3, d_sym_a = jax.lax.cond(
@@ -1126,7 +1167,7 @@ class UnitedCodec:
                 lambda: (d_st3,
                          model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)),
             )
-            idx3, r_mn_na, d_anchor_hat, d_local = model.apply(
+            idx3, r_mn_na, d_anchor_hat, d_local = sapply(
                 v, i, d_sym_a, d_mn_a, r_local, init, st,
                 method=mt.stage_rgb_nonanchor,
             )
@@ -1136,7 +1177,7 @@ class UnitedCodec:
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols)),
             )
-            idx4, d_mn_na, r_hat_slice = model.apply(
+            idx4, d_mn_na, r_hat_slice = sapply(
                 v, i, r_anchor_hat, r_sym_na, r_mn_na, d_local, init, st,
                 method=mt.stage_depth_nonanchor,
             )
@@ -1163,12 +1204,22 @@ class UnitedCodec:
             return lambda v, *a: f(v, *a, self._lut_r, self._lut_d)
 
         self._fused_slice = {i: make_fs(i) for i in range(len(model.slice_ch))}
-        self._pad_to = {
-            cap: jax.jit(
-                lambda w, _c=cap: jnp.pad(w, ((0, 0), (0, 0), (0, _c - w.shape[-1])))
-            )
-            for cap in (self.WMAX, self.BMAX)
-        }
+        if self._flat_upload:
+            self._pad_to = {
+                cap: jax.jit(
+                    lambda w, _c=cap: jnp.pad(w, ((0, 0), (0, _c - w.shape[-1])))
+                )
+                for cap in (self.WMAX * lanes, self.BMAX * lanes)
+            }
+        else:
+            self._pad_to = {
+                cap: jax.jit(
+                    lambda w, _c=cap: jnp.pad(
+                        w, ((0, 0), (0, 0), (0, _c - w.shape[-1]))
+                    )
+                )
+                for cap in (self.WMAX, self.BMAX)
+            }
         self._lane_ready = True
 
     def _dummy_lane_inputs(self, b):
@@ -1179,8 +1230,12 @@ class UnitedCodec:
             return cached[1]
         zs = jnp.zeros((b, self.LANES), jnp.uint32)
         zp = jnp.zeros((b, self.LANES), jnp.int32)
-        zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
-        zb = jnp.zeros((b, self.LANES, self.BMAX), jnp.uint16)
+        if self._flat_upload:
+            zw = jnp.zeros((b, self.LANES * self.WMAX), jnp.uint16)
+            zb = jnp.zeros((b, self.LANES * self.BMAX), jnp.uint16)
+        else:
+            zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
+            zb = jnp.zeros((b, self.LANES, self.BMAX), jnp.uint16)
         zs, zp, zw, zb = self._put_batch((zs, zp, zw, zb))
         self._dummy_cache = (b, ((zs, zp, zp), zw, zb))
         return (zs, zp, zp), zw, zb
@@ -1310,6 +1365,7 @@ class UnitedCodec:
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
                 small=small,
+                scan_out=os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1",
             )
             return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 
@@ -1604,6 +1660,14 @@ class UnitedCodec:
         }
 
     def _stack_streams(self, streams):
+        """Parse + upload a batch of lane containers; returns
+        ((states, pos_init, nib_init), words, byp) ready to seed the fused
+        decode carry.  Classic layout: per-lane rows padded to a bucketed
+        width, cursors start at 0.  RGBDC_FLAT_UPLOAD=1: the container's
+        native lane-major flat payload uploads as-is (exact bytes) and
+        each lane's cursor starts at its base offset."""
+        if self._flat_upload:
+            return self._stack_streams_flat(streams)
         split = [self._lanes_split(s, self.LANES) for s in streams]
 
         def stack(k, cap, env):
@@ -1621,10 +1685,42 @@ class UnitedCodec:
             return self._pad_to[cap](self._put_batch(jnp.asarray(arr)))
 
         states = self._put_batch(jnp.asarray(np.stack([s[0] for s in split])))
+        pos0 = jnp.zeros((len(streams), self.LANES), jnp.int32)
         return (
-            states,
+            (states, pos0, pos0),
             stack(1, self.WMAX, "RGBDC_WMAX"),
             stack(2, self.BMAX, "RGBDC_BMAX"),
+        )
+
+    def _stack_streams_flat(self, streams):
+        from ..coder.rans import lanes_split_flat
+
+        lanes = self.LANES
+        split = [lanes_split_flat(s, lanes) for s in streams]
+        wcap, bcap = self.WMAX * lanes, self.BMAX * lanes
+        bucket = self.WORD_BUCKET * lanes
+
+        def stackf(k, cap, env):
+            w = max(max((s[k].size for s in split), default=1), 1)
+            if w > cap:
+                raise ValueError(
+                    f"lane stream needs {w} flat u16 > {env}*LANES={cap}; "
+                    "raise the env var (recompiles the fused programs)"
+                )
+            w = min(-(-w // bucket) * bucket, cap)
+            arr = np.stack([np.pad(s[k], (0, w - s[k].size)) for s in split])
+            return self._pad_to[cap](self._put_batch(jnp.asarray(arr)))
+
+        states = self._put_batch(jnp.asarray(np.stack([s[0] for s in split])))
+        pos0 = self._put_batch(jnp.asarray(np.stack([s[2] for s in split])))
+        # nibble cursor counts NIBBLES: 4 per u16 word of base offset
+        nib0 = self._put_batch(
+            jnp.asarray(np.stack([s[4] * 4 for s in split]).astype(np.int32))
+        )
+        return (
+            (states, pos0, nib0),
+            stackf(1, wcap, "RGBDC_WMAX"),
+            stackf(3, bcap, "RGBDC_BMAX"),
         )
 
     def decompress_lanes(self, r_streams, d_streams, shape) -> dict:
@@ -1635,17 +1731,16 @@ class UnitedCodec:
         v = self.variables
         zh, zw = int(shape[0]), int(shape[1])
         b = len(r_streams)
-        r_state, r_words, r_byp = self._stack_streams(r_streams)
-        d_state, d_words, d_byp = self._stack_streams(d_streams)
-        pos0 = jnp.zeros((b, self.LANES), jnp.int32)
+        r_st3, r_words, r_byp = self._stack_streams(r_streams)
+        d_st3, d_words, d_byp = self._stack_streams(d_streams)
         n, m = self.model.N, self.model.M
         rz0 = jnp.zeros((b, zh, zw, n), jnp.int32)
         y0 = jnp.zeros((b, zh * 4, zw * 4, m), jnp.float32)
 
         _, _, _, _, r_prev, d_prev = self._fused_flow(
             v, y0, y0, rz0, rz0,
-            (r_state, pos0, pos0), r_words, r_byp,
-            (d_state, pos0, pos0), d_words, d_byp, jnp.asarray(True),
+            r_st3, r_words, r_byp,
+            d_st3, d_words, d_byp, jnp.asarray(True),
         )
         rgb_y_hat = jnp.concatenate(r_prev, axis=-1)
         depth_y_hat = jnp.concatenate(d_prev, axis=-1)

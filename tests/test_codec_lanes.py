@@ -117,6 +117,57 @@ class TestLaneCodec:
         # pins the trained-checkpoint delta) — this is a loose sanity bound
         assert rms < 0.05, rms
 
+    def test_bf16_flow_path(self, monkeypatch):
+        """RGBDC_BF16_FLOW=1 runs the fused entropy-parameter stage
+        programs (context/aggregation convs + hyper decode) in bfloat16.
+        Unlike RGBDC_BF16 this CHANGES mu/sigma — but encoder and decoder
+        call the same compiled executables, so the closure must still be
+        bit-exact, and the reconstruction must stay close to f32."""
+        monkeypatch.setenv("RGBDC_BF16_FLOW", "1")
+        codec16 = _tiny_codec()
+        out = codec16.compress_lanes(self.rgb, self.depth)
+        dec = codec16.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+        compat = self.codec.compress(self.rgb, self.depth)
+        dec32 = self.codec.decompress(
+            compat["r_strings"], compat["d_strings"], compat["shape"]
+        )
+        diff = np.asarray(dec["x_hat"]["r"]) - np.asarray(dec32["x_hat"]["r"])
+        rms = float(np.sqrt(np.mean(diff**2)))
+        assert rms < 0.05, rms
+
+    def test_flat_upload_roundtrip(self, monkeypatch):
+        """RGBDC_FLAT_UPLOAD=1 uploads each stream's words/nibbles as one
+        lane-major flat array (the container's native payload order) and
+        seeds each lane's cursor at its base offset.  Wire format is
+        unchanged and the decode must stay bit-exact — including the
+        escape/bypass nibble path (the untrained tiny model escapes
+        freely)."""
+        monkeypatch.setenv("RGBDC_FLAT_UPLOAD", "1")
+        codec_f = _tiny_codec()
+        out = codec_f.compress_lanes(self.rgb, self.depth)
+        # streams must be identical to the classic codec's (encode side
+        # does not depend on the upload layout)
+        ref = self.codec.compress_lanes(self.rgb, self.depth)
+        assert out["r_streams"] == ref["r_streams"]
+        assert out["d_streams"] == ref["d_streams"]
+        dec = codec_f.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+
     def test_stream_sizes_reasonable(self):
         """Lane container overhead (compact v3 header) is 6 bytes/lane for
         escape-free streams (u32 state + u16 word count), 8 with the u16
@@ -205,6 +256,40 @@ class TestDeviceEncodePath:
         )
         np.testing.assert_array_equal(
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+
+    def test_scan_out_streams_byte_identical(self, monkeypatch):
+        """RGBDC_ENC_SCANOUT=1 (scan-output encoder: tiny carry + one
+        post-scan compaction scatter) must produce byte-identical streams
+        to the classic in-scan-scatter encoder."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(11)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        classic = UnitedCodec(model, v)
+        out_c = classic.compress_lanes(rgb, depth)
+        monkeypatch.setenv("RGBDC_ENC_SCANOUT", "1")
+        scano = UnitedCodec(model, v)
+        out_o = scano.compress_lanes(rgb, depth)
+        assert out_o["r_streams"] == out_c["r_streams"]
+        assert out_o["d_streams"] == out_c["d_streams"]
+        dec = scano.decompress_lanes(
+            out_o["r_streams"], out_o["d_streams"], out_o["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out_o["y_hat"]["r"])
         )
 
     def test_escape_sideband_and_full_fallback(self, monkeypatch):

@@ -335,3 +335,48 @@ class TestSmallRowFastPath:
             np.asarray(words)[0], [[] for _ in range(lanes)],
         )
         assert container == data
+
+    @pytest.mark.parametrize("unroll", [1, 4])
+    def test_encode_scan_out_bit_identical(self, unroll):
+        """scan_out=True (tiny carry + one post-scan compaction scatter)
+        must reproduce the classic in-scan-scatter outputs EXACTLY —
+        states, word counts, and every word slot below each lane's count
+        — on mixed small/big rows with escapes, batch 2."""
+        rng = np.random.default_rng(31)
+        lanes = 32
+        n = 3000
+        small = rt.build_small_tables(TABLE)
+        idx = np.where(
+            rng.random((2, n)) < 0.85,
+            rng.integers(0, 8, (2, n)),
+            rng.integers(0, len(TABLE.cdf_length), (2, n)),
+        ).astype(np.uint8)
+        off = TABLE.offset[idx.astype(np.int64)]
+        maxv = TABLE.cdf_length[idx.astype(np.int64)] - 2
+        sym = (off + rng.integers(0, 10000, (2, n)) % np.maximum(maxv, 1)).astype(
+            np.int16
+        )
+        esc = rng.random((2, n)) < 0.03
+        sym[esc] = rng.integers(-3000, 3000, int(esc.sum())).astype(np.int16)
+        group_lens = [1000, 500, 1500]
+
+        enc_lut = jnp.asarray(rt.build_enc_lut(TABLE))
+        outs = []
+        for scan_out in (False, True):
+            outs.append(
+                rt.encode_groups(
+                    jnp.asarray(sym), jnp.asarray(idx), enc_lut,
+                    lanes=lanes, group_lens=group_lens, wcap=512,
+                    small=small, unroll=unroll, scan_out=scan_out,
+                )
+            )
+        (st0, wc0, w0), (st1, wc1, w1) = outs
+        np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+        np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
+        wc = np.asarray(wc0)
+        w0, w1 = np.asarray(w0), np.asarray(w1)
+        for b in range(2):
+            for l in range(lanes):
+                np.testing.assert_array_equal(
+                    w0[b, l, : wc[b, l]], w1[b, l, : wc[b, l]]
+                )
