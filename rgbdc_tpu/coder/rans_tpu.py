@@ -242,7 +242,7 @@ def _sext(x, bits):
 
 
 def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
-                has_big=None):
+                has_big=None, escfix=False):
     """Decode one lockstep row: every active lane pops one symbol.
 
     tbl is either a DeviceCdfTable (binary-search mode) or a packed
@@ -367,6 +367,20 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
     state = jnp.where(act, adv, state)
     pos = jnp.where(act, npos, pos)
 
+    esc = act & esc_flag
+    if escfix:
+        # escape-fixup mode (decode_group escfix=...): bypass nibbles never
+        # touch the rANS state — the state advance above already used the
+        # escape row's start/freq — so the scan body carries NO escape
+        # machinery at all (no nibble pops, no data-dependent cross-lane
+        # any() + scalar sync per row).  Escaped lanes return a placeholder;
+        # _escape_fixup patches their VALUES after the scan from the esc
+        # bitmap, in escape-ordinal order (max escapes/lane iterations
+        # instead of one while_loop in every row).
+        value = value16 if lut_mode else s + offset
+        sym = jnp.where(act, value, 0)
+        return LaneState(state, pos, nib), (sym, esc)
+
     # --- escape path (rare): count nibble, then LSB-first 4-bit chunks ------
     # v2 wire format: bypass chunks come from the per-lane nibble stream,
     # NOT the main word stream (so main renorm stays <=1 word/symbol).
@@ -376,7 +390,6 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
     # single nibble (a chain needs n_bypass >= 15) and iterations <= 7.
     # Do NOT replace the while_loop with lax.cond: XLA select-converts the
     # cond and runs the nibble gathers on EVERY row (measured 2x slower).
-    esc = act & esc_flag
     neg1 = jnp.full(s.shape, -1, jnp.int32)
 
     def e_cond(c):
@@ -411,6 +424,61 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
     return LaneState(state, pos, nib), sym
 
 
+def _escape_fixup(nib, byp, syms_rows, esc_rows, idx_rows, off_arr, maxv_arr):
+    """Reconstruct escape VALUES after an escfix-mode decode scan.
+
+    syms_rows/esc_rows/idx_rows are the scan's [steps, ..., lanes] outputs
+    (placeholder symbols, escape bitmap, input CDF indexes).  Per lane,
+    escapes consume its bypass-nibble stream in row order, so iterating
+    over the escape ORDINAL e (cross-lane max escapes per lane — 0-3 on
+    trained streams, vs ~830 rows) replays exactly the consumption order
+    the in-scan escape loop would have used: pop the count nibble, then up
+    to 5 LSB-first 4-bit chunks (int16 wire symbols bound raw < 2^18), and
+    patch the value at the escape's row.  Returns (nib, syms_rows)."""
+    steps = esc_rows.shape[0]
+    esc_i = esc_rows.astype(jnp.int32)
+    ordinal = jnp.cumsum(esc_i, axis=0)  # 1-based at escape rows
+    emax = jnp.max(ordinal[-1])
+    rows_ix = jnp.arange(steps, dtype=jnp.int32).reshape(
+        (steps,) + (1,) * (esc_rows.ndim - 1)
+    )
+
+    def f_cond(c):
+        return c[0] < emax
+
+    def f_body(c):
+        e, nib, syms = c
+        hit = esc_rows & (ordinal == (e + 1))  # [steps, ..., lanes]
+        has = jnp.any(hit, axis=0)  # [..., lanes]
+        r_e = jnp.sum(jnp.where(hit, rows_ix, 0), axis=0)
+        idx_e = jnp.take_along_axis(idx_rows, r_e[None], axis=0)[0]
+        off = jnp.take(off_arr, idx_e)
+        maxv = jnp.take(maxv_arr, idx_e)
+        cnt, nib = _get_nibble(byp, nib, has)
+        raw = jnp.zeros(has.shape, jnp.uint32)
+        for j in range(5):  # raw < 2^18 -> at most 5 chunks
+            live = has & (j < cnt)
+            val, nib = _get_nibble(byp, nib, live)
+            raw = raw | jnp.where(live, val.astype(jnp.uint32) << (4 * j), 0)
+        v = (raw >> 1).astype(jnp.int32)
+        esc_value = jnp.where((raw & 1).astype(bool), -v - 1 + off, v + maxv + off)
+        syms = jnp.where(hit, esc_value[None], syms)
+        return e + 1, nib, syms
+
+    _, nib, syms_rows = jax.lax.while_loop(
+        f_cond, f_body, (jnp.int32(0), nib, syms_rows)
+    )
+    return nib, syms_rows
+
+
+def escape_fixup_tables(table: CdfTable):
+    """(offset, maxv) device arrays for decode_group's escfix mode."""
+    return (
+        jnp.asarray(table.offset, jnp.int32),
+        jnp.asarray(table.cdf_length, jnp.int32) - 2,
+    )
+
+
 def decode_group(
     carry: LaneState,
     words: jnp.ndarray,
@@ -419,6 +487,7 @@ def decode_group(
     tbl: DeviceCdfTable,
     lanes: int = DEFAULT_LANES,
     small=None,
+    escfix=None,
 ):
     """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
 
@@ -458,9 +527,19 @@ def decode_group(
         return _decode_row(
             c, words, byp, idx_row, act, tbl, small=small,
             has_big=(hb if small is not None else None),
+            escfix=escfix is not None,
         )
 
-    carry, syms = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))
+    carry, ys = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))
+    if escfix is not None:
+        syms, esc_rows = ys
+        off_arr, maxv_arr = escfix
+        nib, syms = _escape_fixup(
+            carry.nib, byp, syms, esc_rows, idx_rows, off_arr, maxv_arr
+        )
+        carry = LaneState(carry.state, carry.pos, nib)
+    else:
+        syms = ys
     inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
     syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
     return carry, syms

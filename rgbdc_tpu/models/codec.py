@@ -1078,6 +1078,22 @@ class UnitedCodec:
 
         small_r, small_d = self._small_r, self._small_d
 
+        # escape-fixup decode (RGBDC_DEC_ESCFIX=1, serving opt-in): the
+        # decode scan body drops its escape while_loop (bypass nibbles
+        # never touch the rANS state), and escape VALUES are reconstructed
+        # per group in a post-scan pass over escape ordinals
+        # (rans_tpu._escape_fixup).  Bit-exact by construction; the per-row
+        # (offset, maxv) tables are a few hundred int32 constants.
+        if os.environ.get("RGBDC_DEC_ESCFIX", "0") == "1":
+            escfix_r = (
+                jnp.asarray(self._row_off["r"]), jnp.asarray(self._row_maxv["r"])
+            )
+            escfix_d = (
+                jnp.asarray(self._row_off["d"]), jnp.asarray(self._row_maxv["d"])
+            )
+        else:
+            escfix_r = escfix_d = None
+
         # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
         # the fused stage programs' context/aggregation convs run in bf16.
         # The enc/dec bit-exact closure is untouched BY CONSTRUCTION —
@@ -1110,12 +1126,12 @@ class UnitedCodec:
                 return model.apply(v, *args, method=method)
             return _to32(model.apply(_to16(v), *_to16(args), method=method))
 
-        def dec_group(st3, words, byp, lut, idx, small=None):
+        def dec_group(st3, words, byp, lut, idx, small=None, escfix=None):
             b = idx.shape[0]
             carry = _rt.LaneState(*st3)
             carry, flat = _rt.decode_group(
                 carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut,
-                lanes, small=small,
+                lanes, small=small, escfix=escfix,
             )
             return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
@@ -1126,19 +1142,21 @@ class UnitedCodec:
             c = jnp.arange(n, dtype=jnp.int32) + 64
             zidx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
 
-            def dec_mod(st3, words, byp, lut):
+            def dec_mod(st3, words, byp, lut, escfix):
                 carry = _rt.LaneState(*st3)
-                carry, flat = _rt.decode_group(carry, words, byp, zidx, lut, lanes)
+                carry, flat = _rt.decode_group(
+                    carry, words, byp, zidx, lut, lanes, escfix=escfix,
+                )
                 return tuple(carry), flat.reshape(b, zh, zw, n)
 
             r_st3, rz = jax.lax.cond(
                 is_decode,
-                lambda: dec_mod(r_st3, r_words, r_byp, lut_r),
+                lambda: dec_mod(r_st3, r_words, r_byp, lut_r, escfix_r),
                 lambda: (r_st3, rz_enc),
             )
             d_st3, dz = jax.lax.cond(
                 is_decode,
-                lambda: dec_mod(d_st3, d_words, d_byp, lut_d),
+                lambda: dec_mod(d_st3, d_words, d_byp, lut_d, escfix_d),
                 lambda: (d_st3, dz_enc),
             )
             rh, dh = sapply(v, rz, dz, method=mt.hyper_decode)
@@ -1154,7 +1172,8 @@ class UnitedCodec:
             )
             r_st3, r_sym_a = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx1, small_r),
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx1, small_r,
+                                  escfix_r),
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_a, method=mt.anchor_symbols)),
             )
@@ -1163,7 +1182,8 @@ class UnitedCodec:
             )
             d_st3, d_sym_a = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx2, small_d),
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx2, small_d,
+                                  escfix_d),
                 lambda: (d_st3,
                          model.apply(v, i, depth_y, d_mn_a, method=mt.anchor_symbols)),
             )
@@ -1173,7 +1193,8 @@ class UnitedCodec:
             )
             r_st3, r_sym_na = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx3, small_r),
+                lambda: dec_group(r_st3, r_words, r_byp, lut_r, idx3, small_r,
+                                  escfix_r),
                 lambda: (r_st3,
                          model.apply(v, i, rgb_y, r_mn_na, method=mt.nonanchor_symbols)),
             )
@@ -1183,7 +1204,8 @@ class UnitedCodec:
             )
             d_st3, d_sym_na = jax.lax.cond(
                 is_decode,
-                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx4, small_d),
+                lambda: dec_group(d_st3, d_words, d_byp, lut_d, idx4, small_d,
+                                  escfix_d),
                 lambda: (d_st3,
                          model.apply(v, i, depth_y, d_mn_na, method=mt.nonanchor_symbols)),
             )

@@ -143,6 +143,29 @@ class TestLaneCodec:
         rms = float(np.sqrt(np.mean(diff**2)))
         assert rms < 0.05, rms
 
+    def test_escfix_decode_roundtrip(self, monkeypatch):
+        """RGBDC_DEC_ESCFIX=1 strips the escape while_loop out of the
+        decode scan (values reconstructed in the per-ordinal post-pass).
+        The untrained tiny model escapes freely, so this exercises deep
+        per-lane ordinals end-to-end; decode must stay bit-exact and the
+        encode side (unaffected by a decode knob) must emit identical
+        streams."""
+        monkeypatch.setenv("RGBDC_DEC_ESCFIX", "1")
+        codec_e = _tiny_codec()
+        out = codec_e.compress_lanes(self.rgb, self.depth)
+        ref = self.codec.compress_lanes(self.rgb, self.depth)
+        assert out["r_streams"] == ref["r_streams"]
+        assert out["d_streams"] == ref["d_streams"]
+        dec = codec_e.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+
     def test_flat_upload_roundtrip(self, monkeypatch):
         """RGBDC_FLAT_UPLOAD=1 uploads each stream's words/nibbles as one
         lane-major flat array (the container's native payload order) and
@@ -334,4 +357,58 @@ class TestDeviceEncodePath:
         )
         np.testing.assert_array_equal(
             np.asarray(dec["y_hat"]["r"]), np.asarray(out_s["y_hat"]["r"])
+        )
+
+    def test_full_serving_config_combined(self, monkeypatch):
+        """All serving knobs ON together (DEVICE_ENCODE + ENC_SCANOUT +
+        FLAT_UPLOAD + BF16_FLOW): the combination must hold the bit-exact
+        closure, and the two layout-only knobs (scan-out encoder, flat
+        upload) must leave the streams byte-identical to the plain
+        device-encode f32 baseline when BF16_FLOW is off."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(13)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        base = UnitedCodec(model, v)
+        out_b = base.compress_lanes(rgb, depth)
+
+        monkeypatch.setenv("RGBDC_ENC_SCANOUT", "1")
+        monkeypatch.setenv("RGBDC_FLAT_UPLOAD", "1")
+        layout = UnitedCodec(model, v)
+        out_l = layout.compress_lanes(rgb, depth)
+        assert out_l["r_streams"] == out_b["r_streams"]
+        assert out_l["d_streams"] == out_b["d_streams"]
+        dec_l = layout.decompress_lanes(
+            out_l["r_streams"], out_l["d_streams"], out_l["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_l["y_hat"]["r"]), np.asarray(out_l["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_l["y_hat"]["d"]), np.asarray(out_l["y_hat"]["d"])
+        )
+
+        monkeypatch.setenv("RGBDC_BF16_FLOW", "1")
+        allon = UnitedCodec(model, v)
+        out_a = allon.compress_lanes(rgb, depth)
+        dec_a = allon.decompress_lanes(
+            out_a["r_streams"], out_a["d_streams"], out_a["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_a["y_hat"]["r"]), np.asarray(out_a["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_a["y_hat"]["d"]), np.asarray(out_a["y_hat"]["d"])
         )

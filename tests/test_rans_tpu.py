@@ -243,6 +243,80 @@ class TestDeviceEncoder:
         return got_c
 
 
+class TestEscapeFixupDecode:
+    """escfix decode mode (decode_group escfix=(off, maxv)): the scan body
+    carries no escape machinery; escape values are reconstructed in a
+    post-scan per-ordinal pass.  Must be bit-exact with the classic
+    in-scan escape loop — symbols AND the full threaded carry (state, pos,
+    nib) — across group boundaries, in every lookup mode."""
+
+    ESCFIX = (
+        jnp.asarray(np.asarray(TABLE.offset, np.int32)),
+        jnp.asarray(np.asarray(TABLE.cdf_length, np.int32) - 2),
+    )
+
+    def _decode_both(self, sym, idx, group_lens, lanes, mode, batch=2):
+        data = lanes_encode(sym, idx, group_lens, TABLE, lanes=lanes)
+        states, words, byp = lanes_split(data, lanes)
+        if mode == "search":
+            tbl, small = rt.device_table(TABLE), None
+        elif mode == "lut":
+            tbl, small = jnp.asarray(rt.build_lut(TABLE)), None
+        else:
+            tbl = jnp.asarray(rt.build_lut(TABLE))
+            small = rt.build_small_tables(TABLE)
+            assert small is not None
+        rep = lambda x: jnp.asarray(np.stack([x] * batch))
+        out = {}
+        for escfix in (None, self.ESCFIX):
+            carry = rt.init_lane_state(rep(states))
+            got, base = [], 0
+            for gl in group_lens:
+                carry, s = rt.decode_group(
+                    carry, rep(words), rep(byp),
+                    rep(np.asarray(idx[base : base + gl], np.int32)),
+                    tbl, lanes=lanes, small=small, escfix=escfix,
+                )
+                got.append(np.asarray(s))
+                base += gl
+            out[escfix is None] = (np.concatenate(got, axis=-1), carry)
+        (sym_fix, c_fix), (sym_cls, c_cls) = out[False], out[True]
+        np.testing.assert_array_equal(sym_fix, sym_cls)
+        for a, b in zip(c_fix, c_cls):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(sym_fix[0], sym.astype(sym_fix.dtype))
+        return sym_fix
+
+    @pytest.mark.parametrize("mode", ["search", "lut", "small"])
+    def test_mixed_escapes_bit_exact(self, mode):
+        rng = np.random.default_rng(17)
+        group_lens = [900, 1, 411, 600]
+        sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.08)
+        self._decode_both(sym, idx, group_lens, 32, mode)
+
+    def test_no_escapes_skips_fixup(self):
+        rng = np.random.default_rng(19)
+        n = 2000
+        idx = rng.integers(40, 64, n).astype(np.uint8)
+        sym = rng.integers(-3, 4, n).astype(np.int16)
+        self._decode_both(sym, idx, [n // 2, n // 2], 64, "small")
+
+    def test_all_escapes(self):
+        rng = np.random.default_rng(23)
+        n = 700
+        idx = np.zeros(n, np.uint8)  # narrowest row: everything escapes
+        sym = rng.integers(-30000, 30000, n).astype(np.int16)
+        self._decode_both(sym, idx, [n], 16, "lut")
+
+    def test_ragged_tail_and_multi_escape_lanes(self):
+        # single lane -> every escape in one lane, deep per-lane ordinals;
+        # ragged final row exercises the act masking in the fixup
+        rng = np.random.default_rng(29)
+        n = 257
+        sym, idx = _random_stream(rng, n, esc_rate=0.3)
+        self._decode_both(sym, idx, [n], 4, "small")
+
+
 class TestSmallRowFastPath:
     """Hybrid decode: dense one-hot-matmul path for narrow CDF rows +
     while_loop LUT gather for wide rows (rans_tpu.build_small_tables) must

@@ -1,0 +1,102 @@
+"""Interleaved A/B of the staged serving knobs at bench shapes, one knob
+per run (tunnel drifts by the hour — never compare across sessions):
+
+    KNOB=scanout python tools/prof_knobs_ab.py   # RGBDC_ENC_SCANOUT
+    KNOB=flat    python tools/prof_knobs_ab.py   # RGBDC_FLAT_UPLOAD
+    KNOB=flow16  python tools/prof_knobs_ab.py   # RGBDC_BF16_FLOW
+    KNOB=escfix  python tools/prof_knobs_ab.py   # RGBDC_DEC_ESCFIX
+
+Builds TWO UnitedCodec instances over the same calib params (knob read at
+construction), warms both, then alternates timed runs A B A B ... per
+docs/PERF.md discipline.  scanout/flat are byte-identical layouts, so the
+script also cross-checks stream equality; flow16 changes mu/sigma, so it
+only checks each side's own closure.
+"""
+import os, time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("RGBDC_DEVICE_ENCODE", "1")
+os.environ.setdefault("RGBDC_BF16", "1")
+os.environ.setdefault("RGBDC_LANES", "512")
+
+KNOB = os.environ.get("KNOB", "scanout").lower()
+ENV = {
+    "scanout": "RGBDC_ENC_SCANOUT",
+    "flat": "RGBDC_FLAT_UPLOAD",
+    "flow16": "RGBDC_BF16_FLOW",
+    "escfix": "RGBDC_DEC_ESCFIX",
+}[KNOB]
+REPS = int(os.environ.get("REPS", "4"))
+
+import jax, jax.numpy as jnp, numpy as np
+from rgbdc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+import bench as B
+from rgbdc_tpu.models import ELICUnited, UnitedCodec
+from tools.export_calib import load_calib_params_device
+
+batch = int(os.environ.get("PROF_BATCH", "16"))
+model = ELICUnited()
+rgb_np, depth_np = B._bench_images(batch)
+rgb, depth = jnp.asarray(rgb_np), jnp.asarray(depth_np)
+variables = model.init(
+    {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+    jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)), training=True,
+)
+ck = os.path.join(os.path.dirname(__file__), "..", "calib",
+                  "elic_united_q2.f16.msgpack")
+variables = {"params": load_calib_params_device(ck, variables["params"])}
+
+
+def build(on: bool):
+    os.environ[ENV] = "1" if on else "0"
+    return UnitedCodec(model, variables)
+
+
+def sync1(x):
+    _ = np.asarray(x.ravel()[0])
+
+
+codec_a, codec_b = build(False), build(True)
+os.environ[ENV] = "0"
+
+# warm both (compiles + pull tuners + speculative-pull state)
+outs = {}
+for name, c in (("off", codec_a), ("on", codec_b)):
+    t0 = time.time()
+    out = c.compress_lanes(rgb, depth)
+    out = c.compress_lanes(rgb, depth)  # second: speculative/steady paths
+    dec = c.decompress_lanes(out["r_streams"], out["d_streams"], out["shape"])
+    sync1(dec["x_hat"]["r"])
+    np.testing.assert_array_equal(
+        np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+    )
+    outs[name] = out
+    print(f"warm {ENV}={name}: {time.time()-t0:.1f} s (closure ok)", flush=True)
+
+if KNOB in ("scanout", "flat", "escfix"):
+    assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
+    assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
+    print("streams byte-identical across the knob", flush=True)
+
+comp, dec_t, e2e = {"off": [], "on": []}, {"off": [], "on": []}, {"off": [], "on": []}
+for r in range(REPS):
+    for name, c in (("off", codec_a), ("on", codec_b)):
+        t0 = time.time()
+        out = c.compress_lanes(rgb, depth)
+        t1 = time.time()
+        dec = c.decompress_lanes(out["r_streams"], out["d_streams"], out["shape"])
+        sync1(dec["x_hat"]["r"])
+        t2 = time.time()
+        comp[name].append(t1 - t0)
+        dec_t[name].append(t2 - t1)
+        e2e[name].append(t2 - t0)
+        print(f"rep {r} {ENV}={name}: comp {1e3*(t1-t0):.0f} ms  "
+              f"dec {1e3*(t2-t1):.0f} ms  e2e {1e3*(t2-t0):.0f} ms", flush=True)
+
+for name in ("off", "on"):
+    print(f"{ENV}={name}: comp min {1e3*min(comp[name]):.0f} ms  "
+          f"dec min {1e3*min(dec_t[name]):.0f} ms  "
+          f"e2e min {1e3*min(e2e[name]):.0f} ms  "
+          f"({batch/min(e2e[name]):.2f} img/s serial)", flush=True)
