@@ -155,6 +155,52 @@ def combine_tables(*tables: CdfTable) -> CdfTable:
     )
 
 
+def cap_table(table: CdfTable, max_len: int = 130) -> CdfTable:
+    """Cap every CDF row's alphabet at ``max_len`` entries (length incl. the
+    escape interval and the 2^16 terminator).
+
+    Rows longer than max_len keep a max_len-2-symbol window CENTERED on the
+    row's zero value (symbol -offset — gaussian rows are symmetric around
+    it, so the kept mass is maximal) and fold both clipped tails — plus the
+    old escape mass — into a new escape interval (freq = 2^16 - kept > 0
+    always; integer window subtraction keeps the CDF exact).  The row's
+    offset shifts by the window start so downstream symbol<->value math is
+    unchanged, and out-of-range values ride the EXISTING escape/bypass
+    machinery on either side (raw = 2*(-v)-1 left / 2*(v-maxv) right, both
+    < 2^18 for int16 wire symbols).
+
+    Why: with every row at most max_len wide, the dense one-hot-matmul
+    lookup (build_small_tables) covers ALL rows of the table — the packed
+    64k-entry LUTs (134 MB HBM each) and the big-row gather while_loops
+    drop out of both scan bodies entirely (RGBDC_DENSE128 serving mode,
+    models/codec.py).  Rate cost is bounded by the clipped tail mass: a
+    trained codec's residuals sit far inside +-(max_len/2) of their row
+    mean (calib checkpoint: max |residual| = 9), so real-content streams
+    are unchanged or within noise; pathological (untrained) content just
+    escapes more, exactly as it already does on narrow rows."""
+    lens = np.asarray(table.cdf_length)
+    if int(lens.max()) <= max_len:
+        return table
+    new_lens = np.minimum(lens, max_len)
+    stride = int(new_lens.max())
+    cdf = np.zeros((table.cdf.shape[0], stride), np.int32)
+    offset = np.array(table.offset, copy=True)
+    keep = max_len - 2  # real symbols kept per capped row
+    for r in range(len(lens)):
+        ln = int(lens[r])
+        if ln <= max_len:
+            cdf[r, :ln] = table.cdf[r, :ln]
+            continue
+        old_maxv = ln - 2
+        mid = int(np.clip(-int(offset[r]), 0, old_maxv - 1))
+        c0 = int(np.clip(mid - keep // 2, 0, old_maxv - keep))
+        win = table.cdf[r, c0 : c0 + keep + 1].astype(np.int64)
+        cdf[r, : keep + 1] = (win - win[0]).astype(np.int32)
+        cdf[r, keep + 1] = 1 << 16  # escape absorbs both tails
+        offset[r] = int(offset[r]) + c0
+    return CdfTable(cdf=cdf, cdf_length=new_lens, offset=offset)
+
+
 class LaneState(NamedTuple):
     """Per-stream decode carry: [..., lanes] uint32 states, int32 word
     positions into a [..., lanes, W] uint16 word matrix, and int32 nibble
@@ -488,6 +534,7 @@ def decode_group(
     lanes: int = DEFAULT_LANES,
     small=None,
     escfix=None,
+    pallas: bool = False,
 ):
     """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
 
@@ -521,6 +568,34 @@ def decode_group(
         )
     else:
         hb_rows = jnp.zeros((steps,), bool)  # unused
+
+    if pallas:
+        # Pallas backend (rans_pallas.decode_rows): dense-total tables +
+        # escfix only — the kernel has no LUT gather and no escape
+        # machinery.  The escape fixup below is shared with the XLA path.
+        from . import rans_pallas
+
+        assert small is not None and escfix is not None
+        assert words.ndim == len(lead) + 2, "pallas needs [.., lanes, W]"
+        flat = lambda a: a.reshape((-1,) + a.shape[len(lead):])
+        st_f, pos_f, syms, esc_rows = rans_pallas.decode_rows(
+            flat(carry.state), flat(carry.pos),
+            flat(words),
+            idx_rows.reshape((steps, -1, lanes)),
+            act_rows.reshape((steps, -1, lanes)),
+            small,
+        )
+        unflat = lambda a: a.reshape(lead + (lanes,))
+        syms = syms.reshape((steps,) + lead + (lanes,))
+        esc_rows = esc_rows.reshape((steps,) + lead + (lanes,))
+        off_arr, maxv_arr = escfix
+        nib, syms = _escape_fixup(
+            carry.nib, byp, syms, esc_rows, idx_rows, off_arr, maxv_arr
+        )
+        carry = LaneState(unflat(st_f), unflat(pos_f), nib)
+        inv = tuple(range(1, len(lead) + 1)) + (0, len(lead) + 1)
+        syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
+        return carry, syms
 
     def step(c, xs):
         idx_row, act, hb = xs
@@ -738,6 +813,26 @@ def _encode_row(carry, lut, idx_row, sym_row, act, small=None, has_big=None):
     return (state, wpos, words), None
 
 
+def _compact_words(words_o, emit_o, b, lanes, wcap):
+    """Turn per-row (word, emit) scan outputs into per-lane streams: one
+    flat scatter over an exclusive row-cumsum of the emit bitmap (the
+    scan_out / pallas encode epilogue).  Returns (wpos, words)."""
+    ecnt = emit_o.astype(jnp.int32)
+    wpos = jnp.sum(ecnt, axis=0)
+    tgt = jnp.cumsum(ecnt, axis=0) - ecnt
+    stride = wcap + 1
+    li = jnp.arange(lanes, dtype=jnp.int32)
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    base = (bi * lanes + li) * stride  # [b, lanes]
+    flat_idx = base[None] + jnp.where(emit_o, jnp.minimum(tgt, wcap), wcap)
+    flat = jnp.zeros(b * lanes * stride, jnp.uint16)
+    flat = flat.at[flat_idx.reshape(-1)].set(
+        words_o.astype(jnp.uint16).reshape(-1), mode="drop"
+    )
+    words = flat.reshape(b, lanes, stride)[..., :wcap]
+    return wpos, words
+
+
 def encode_groups(
     sym: jnp.ndarray,
     indexes: jnp.ndarray,
@@ -748,6 +843,7 @@ def encode_groups(
     small=None,
     unroll: int = 4,
     scan_out: bool = False,
+    pallas: bool = False,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -798,6 +894,20 @@ def encode_groups(
     sym_r = jnp.concatenate(sym_rows, axis=0)[::-1]
     act_r = jnp.concatenate(act_rows, axis=0)[::-1]
 
+    if pallas:
+        # Pallas backend (rans_pallas.encode_rows): dense-total tables
+        # only (no enc-LUT gather in the kernel); emission compaction is
+        # shared with the scan_out path — bit-identical streams.
+        from . import rans_pallas
+
+        assert small is not None
+        state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
+        state, words_o, emit_o = rans_pallas.encode_rows(
+            state0, idx_r, sym_r, act_r, small
+        )
+        wpos, words = _compact_words(words_o, emit_o, b, lanes, wcap)
+        return state, wpos, words
+
     # pad the row count to a multiple of ``unroll`` with inactive rows
     # AT THE FRONT (they run first in the reverse scan and are no-ops:
     # act=False emits nothing and leaves state untouched)
@@ -846,21 +956,7 @@ def encode_groups(
         nrows = nsteps * k
         words_o = words_o.reshape(nrows, b, lanes)
         emit_o = emit_o.reshape(nrows, b, lanes)
-        ecnt = emit_o.astype(jnp.int32)
-        wpos = jnp.sum(ecnt, axis=0)
-        # exclusive cumsum over rows = each emitted word's slot in its lane
-        tgt = jnp.cumsum(ecnt, axis=0) - ecnt
-        # one flat scatter; non-emitting rows aim past wcap and drop
-        stride = wcap + 1
-        li = jnp.arange(lanes, dtype=jnp.int32)
-        bi = jnp.arange(b, dtype=jnp.int32)[:, None]
-        base = (bi * lanes + li) * stride  # [b, lanes]
-        flat_idx = base[None] + jnp.where(emit_o, jnp.minimum(tgt, wcap), wcap)
-        flat = jnp.zeros(b * lanes * stride, jnp.uint16)
-        flat = flat.at[flat_idx.reshape(-1)].set(
-            words_o.reshape(-1), mode="drop"
-        )
-        words = flat.reshape(b, lanes, stride)[..., :wcap]
+        wpos, words = _compact_words(words_o, emit_o, b, lanes, wcap)
         return state, wpos, words
 
     wpos0 = jnp.zeros((b, lanes), jnp.int32)

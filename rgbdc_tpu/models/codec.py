@@ -1011,6 +1011,19 @@ class UnitedCodec:
         self._comb_d = _rt.combine_tables(
             self.tables.gc, self.tables.eb["depth_entropy_bottleneck"]
         )
+        # dense-capped tables (RGBDC_DENSE128=1, serving opt-in): cap every
+        # CDF row at RGBDC_DENSE_CAP entries so the dense one-hot-matmul
+        # lookup covers ALL rows — the 134 MB packed LUTs and the big-row
+        # gather while_loops drop out of both scan bodies (and the LUT
+        # HBM/upload cost disappears).  Streams CHANGE under this knob
+        # (capped rows fold their tail into the escape interval), but both
+        # encode paths and the decoder all read the capped _comb_* tables,
+        # so every cross-path byte-identity below still holds.
+        self._dense = os.environ.get("RGBDC_DENSE128", "0") == "1"
+        if self._dense:
+            dense_cap = int(os.environ.get("RGBDC_DENSE_CAP", "130"))
+            self._comb_r = _rt.cap_table(self._comb_r, dense_cap)
+            self._comb_d = _rt.cap_table(self._comb_d, dense_cap)
         lanes = self.LANES
         model = self.model
         mt = type(model)
@@ -1028,8 +1041,15 @@ class UnitedCodec:
             if self._batch_sharding is not None
             else jax.device_put
         )
-        self._lut_r = put(jnp.asarray(_rt.build_lut(self._comb_r)))
-        self._lut_d = put(jnp.asarray(_rt.build_lut(self._comb_d)))
+        if self._dense:
+            # all rows ride the dense path: the packed LUTs are never
+            # gathered (the big-row while_loops run zero iterations), so
+            # tiny dummies stand in as the traced arguments
+            self._lut_r = put(jnp.zeros((1, 2), jnp.uint32))
+            self._lut_d = self._lut_r
+        else:
+            self._lut_r = put(jnp.asarray(_rt.build_lut(self._comb_r)))
+            self._lut_d = put(jnp.asarray(_rt.build_lut(self._comb_d)))
         # dense small-row CDFs (numpy constants, ~17 KB inlined into the
         # fused programs): gather-free decode for the narrow-sigma rows a
         # trained codec concentrates on (rans_tpu.build_small_tables).
@@ -1038,12 +1058,28 @@ class UnitedCodec:
         # checkpoint's symbols live on rows 0..21 — mid rows fall back to
         # the packed-LUT while_loop (measured ~7% off the decode scan,
         # tools/prof_lanes2.py k_cap sweep)
-        kcap = int(os.environ.get("RGBDC_SMALL_KCAP", "40"))
-        self._small_r = _rt.build_small_tables(self._comb_r, k_cap=kcap)
-        self._small_d = _rt.build_small_tables(self._comb_d, k_cap=kcap)
-        # encode LUTs for the on-device reverse-scan encoder (64 MB each)
-        self._enc_lut_r = put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
-        self._enc_lut_d = put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
+        if self._dense:
+            # dense-total small tables: every (capped) row fits, so the
+            # prefix covers the whole table and is_small is always true
+            cap_len = int(max(self._comb_r.cdf_length.max(),
+                              self._comb_d.cdf_length.max()))
+            self._small_r = _rt.build_small_tables(
+                self._comb_r, k_cap=cap_len, r_max=1 << 30
+            )
+            self._small_d = _rt.build_small_tables(
+                self._comb_d, k_cap=cap_len, r_max=1 << 30
+            )
+            assert self._small_r[3] == self._comb_r.cdf.shape[0]
+            assert self._small_d[3] == self._comb_d.cdf.shape[0]
+            self._enc_lut_r = put(jnp.zeros((1,), jnp.uint32))
+            self._enc_lut_d = self._enc_lut_r
+        else:
+            kcap = int(os.environ.get("RGBDC_SMALL_KCAP", "40"))
+            self._small_r = _rt.build_small_tables(self._comb_r, k_cap=kcap)
+            self._small_d = _rt.build_small_tables(self._comb_d, k_cap=kcap)
+            # encode LUTs for the on-device reverse-scan encoder (64 MB each)
+            self._enc_lut_r = put(jnp.asarray(_rt.build_enc_lut(self._comb_r)))
+            self._enc_lut_d = put(jnp.asarray(_rt.build_enc_lut(self._comb_d)))
         # per-row (offset, maxv) as SMALL static tables for the escape-count
         # guard — looked up with compare-sums, not gathers (docs/PERF.md)
         self._row_off = {
@@ -1094,6 +1130,19 @@ class UnitedCodec:
         else:
             escfix_r = escfix_d = None
 
+        # Pallas decode backend (RGBDC_DEC_PALLAS=1, serving opt-in):
+        # requires dense-capped tables + escfix — the kernel is gather-
+        # free and carries no escape machinery (coder/rans_pallas.py).
+        # NOTE the word-capacity tax: the kernel's renorm fetch is a
+        # one-hot over the WMAX columns, so serve with RGBDC_WMAX sized
+        # to real streams (e.g. 128), not the padded default.
+        dec_pallas = os.environ.get("RGBDC_DEC_PALLAS", "0") == "1"
+        if dec_pallas and not (self._dense and escfix_r is not None):
+            raise ValueError(
+                "RGBDC_DEC_PALLAS=1 requires RGBDC_DENSE128=1 and "
+                "RGBDC_DEC_ESCFIX=1"
+            )
+
         # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
         # the fused stage programs' context/aggregation convs run in bf16.
         # The enc/dec bit-exact closure is untouched BY CONSTRUCTION —
@@ -1131,7 +1180,7 @@ class UnitedCodec:
             carry = _rt.LaneState(*st3)
             carry, flat = _rt.decode_group(
                 carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut,
-                lanes, small=small, escfix=escfix,
+                lanes, small=small, escfix=escfix, pallas=dec_pallas,
             )
             return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
@@ -1142,21 +1191,29 @@ class UnitedCodec:
             c = jnp.arange(n, dtype=jnp.int32) + 64
             zidx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
 
-            def dec_mod(st3, words, byp, lut, escfix):
+            def dec_mod(st3, words, byp, lut, escfix, small):
+                # z rows live ABOVE the small prefix in the classic mode
+                # (LUT path); in dense mode the capped table covers them,
+                # and the dummy-LUT gather must never run
                 carry = _rt.LaneState(*st3)
                 carry, flat = _rt.decode_group(
                     carry, words, byp, zidx, lut, lanes, escfix=escfix,
+                    small=small, pallas=dec_pallas,
                 )
                 return tuple(carry), flat.reshape(b, zh, zw, n)
 
+            z_small_r = small_r if self._dense else None
+            z_small_d = small_d if self._dense else None
             r_st3, rz = jax.lax.cond(
                 is_decode,
-                lambda: dec_mod(r_st3, r_words, r_byp, lut_r, escfix_r),
+                lambda: dec_mod(r_st3, r_words, r_byp, lut_r, escfix_r,
+                                z_small_r),
                 lambda: (r_st3, rz_enc),
             )
             d_st3, dz = jax.lax.cond(
                 is_decode,
-                lambda: dec_mod(d_st3, d_words, d_byp, lut_d, escfix_d),
+                lambda: dec_mod(d_st3, d_words, d_byp, lut_d, escfix_d,
+                                z_small_d),
                 lambda: (d_st3, dz_enc),
             )
             rh, dh = sapply(v, rz, dz, method=mt.hyper_decode)
@@ -1384,10 +1441,15 @@ class UnitedCodec:
                 pack, mode="drop"
             )
 
+            enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
+            if enc_pallas and not self._dense:
+                raise ValueError("RGBDC_ENC_PALLAS=1 requires RGBDC_DENSE128=1")
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
                 small=small,
+                unroll=int(os.environ.get("RGBDC_ENC_UNROLL", "4")),
                 scan_out=os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1",
+                pallas=enc_pallas,
             )
             return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 

@@ -359,6 +359,56 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["r"]), np.asarray(out_s["y_hat"]["r"])
         )
 
+    def test_dense_capped_tables(self, monkeypatch):
+        """RGBDC_DENSE128=1: every CDF row capped so the dense one-hot path
+        covers the whole table (LUTs replaced by dummies).  Streams CHANGE
+        vs the uncapped baseline (folded tails escape), but host and device
+        encoders must stay byte-identical to each other under the knob and
+        the decoder bit-exact — including with escfix stacked on top."""
+        monkeypatch.setenv("RGBDC_DENSE128", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(31)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        host = UnitedCodec(model, v)
+        out_h = host.compress_lanes(rgb, depth)
+        dec_h = host.decompress_lanes(
+            out_h["r_streams"], out_h["d_streams"], out_h["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_h["y_hat"]["r"]), np.asarray(out_h["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_h["y_hat"]["d"]), np.asarray(out_h["y_hat"]["d"])
+        )
+
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        monkeypatch.setenv("RGBDC_DEC_ESCFIX", "1")
+        dev = UnitedCodec(model, v)
+        out_d = dev.compress_lanes(rgb, depth)
+        assert out_d["r_streams"] == out_h["r_streams"]
+        assert out_d["d_streams"] == out_h["d_streams"]
+        dec_d = dev.decompress_lanes(
+            out_d["r_streams"], out_d["d_streams"], out_d["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_d["y_hat"]["r"]), np.asarray(out_d["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_d["y_hat"]["d"]), np.asarray(out_d["y_hat"]["d"])
+        )
+
     def test_full_serving_config_combined(self, monkeypatch):
         """All serving knobs ON together (DEVICE_ENCODE + ENC_SCANOUT +
         FLAT_UPLOAD + BF16_FLOW): the combination must hold the bit-exact

@@ -185,6 +185,196 @@ class TestLutDecoder:
         assert np.array_equal(out[True], out[False])
 
 
+class TestDenseCappedTables:
+    """cap_table + dense-total small tables (the RGBDC_DENSE128 machinery):
+    with every row capped, the dense one-hot path covers the WHOLE table —
+    the packed LUTs are never consulted (tiny dummies stand in) and the
+    folded tails ride the existing escape/bypass machinery.  Both coding
+    directions must stay bit-exact with the C mirror, including symbols
+    that were in-range on the uncapped table and now escape."""
+
+    CAP = 48  # small enough that many gaussian mid rows actually fold
+
+    def test_cap_table_validity(self):
+        t = rt.cap_table(TABLE, self.CAP)
+        assert int(t.cdf_length.max()) <= self.CAP
+        folded = 0
+        for r in range(t.cdf.shape[0]):
+            ln = int(t.cdf_length[r])
+            row = t.cdf[r, :ln]
+            assert row[0] == 0 and row[-1] == (1 << 16)
+            assert np.all(np.diff(row) >= 1)
+            if int(TABLE.cdf_length[r]) > self.CAP:
+                folded += 1
+                # kept window: same symbol FREQUENCIES as the original at
+                # the shifted positions, and the window contains value 0
+                c0 = int(t.offset[r]) - int(TABLE.offset[r])
+                assert c0 >= 0
+                np.testing.assert_array_equal(
+                    np.diff(row[:-1]),
+                    np.diff(TABLE.cdf[r, c0 : c0 + ln - 1]),
+                )
+                maxv = ln - 2
+                assert t.offset[r] <= 0 < t.offset[r] + maxv
+            else:
+                assert ln == int(TABLE.cdf_length[r])
+                assert t.offset[r] == TABLE.offset[r]
+        assert folded > 0  # the cap actually bit some rows
+
+    def test_cap_noop_when_under(self):
+        t = rt.cap_table(TABLE, int(TABLE.cdf_length.max()))
+        assert t is TABLE
+
+    def _stream(self, rng, n):
+        # mix: in-range-small, in-range-wide (folds under the cap), escapes
+        sym, idx = _random_stream(rng, n, esc_rate=0.05)
+        wide = rng.random(n) < 0.15
+        sym[wide] = rng.integers(-200, 200, int(wide.sum())).astype(np.int16)
+        return sym, idx
+
+    def test_c_roundtrip_capped(self):
+        rng = np.random.default_rng(41)
+        capped = rt.cap_table(TABLE, self.CAP)
+        group_lens = [900, 3, 411]
+        sym, idx = self._stream(rng, sum(group_lens))
+        data = lanes_encode(sym, idx, group_lens, capped, lanes=32)
+        out = lanes_decode(data, idx, group_lens, capped, lanes=32)
+        assert np.array_equal(out, sym)
+
+    @pytest.mark.parametrize("escfix", [False, True])
+    def test_dense_decode_bit_exact(self, escfix):
+        """JAX decode with dense-total small tables + dummy LUT."""
+        rng = np.random.default_rng(43)
+        capped = rt.cap_table(TABLE, self.CAP)
+        group_lens = [800, 1, 777]
+        lanes = 32
+        sym, idx = self._stream(rng, sum(group_lens))
+        data = lanes_encode(sym, idx, group_lens, capped, lanes=lanes)
+        states, words, byp = lanes_split(data, lanes)
+        small = rt.build_small_tables(capped, k_cap=self.CAP, r_max=1 << 30)
+        assert small is not None and small[3] == capped.cdf.shape[0]
+        dummy = jnp.zeros((1, 2), jnp.uint32)
+        fix = rt.escape_fixup_tables(capped) if escfix else None
+        carry = rt.init_lane_state(jnp.asarray(states))
+        got, base = [], 0
+        for gl in group_lens:
+            carry, s = rt.decode_group(
+                carry, jnp.asarray(words), jnp.asarray(byp),
+                jnp.asarray(idx[base : base + gl]), dummy, lanes=lanes,
+                small=small, escfix=fix,
+            )
+            got.append(np.asarray(s))
+            base += gl
+        got = np.concatenate(got).astype(np.int16)
+        assert np.array_equal(got, sym)
+
+    def test_dense_device_encode_byte_identical(self):
+        """Device dense encode (dummy enc LUT) must emit the same container
+        bytes as the C encoder over the capped table."""
+        from rgbdc_tpu.coder.rans import (
+            assemble_lanes_container,
+            build_nibble_streams,
+        )
+
+        rng = np.random.default_rng(47)
+        capped = rt.cap_table(TABLE, self.CAP)
+        group_lens = [500, 277]
+        lanes = 16
+        sym, idx = self._stream(rng, sum(group_lens))
+        small = rt.build_small_tables(capped, k_cap=self.CAP, r_max=1 << 30)
+        states, wcounts, words = rt.encode_groups(
+            jnp.asarray(sym.reshape(1, -1)),
+            jnp.asarray(idx.reshape(1, -1)),
+            jnp.zeros((1,), jnp.uint32),
+            lanes=lanes,
+            group_lens=group_lens,
+            wcap=512,
+            small=small,
+        )
+        esc = rt.escape_chunks(sym, idx, capped)
+        nibs = build_nibble_streams(esc, group_lens, lanes)
+        data = assemble_lanes_container(
+            np.asarray(states[0]), np.asarray(wcounts[0]),
+            np.asarray(words[0]), nibs,
+        )
+        ref = lanes_encode(sym, idx, group_lens, capped, lanes=lanes)
+        assert data == ref
+
+
+class TestPallasBackend:
+    """Pallas (Mosaic) scan kernels (coder/rans_pallas.py) vs the XLA scan
+    bodies, in interpret mode on CPU: symbols, streams, and the threaded
+    carry must be IDENTICAL — the kernels are drop-in backends for the
+    dense-table regime (decode additionally requires escfix)."""
+
+    CAP = 48
+    LANES = 32
+    B = 4  # B*LANES = 128: the kernels' lane-tile requirement
+
+    def _dense_setup(self):
+        capped = rt.cap_table(TABLE, self.CAP)
+        small = rt.build_small_tables(capped, k_cap=self.CAP, r_max=1 << 30)
+        assert small is not None and small[3] == capped.cdf.shape[0]
+        return capped, small
+
+    def test_decode_matches_xla(self, monkeypatch):
+        monkeypatch.setenv("RGBDC_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(61)
+        capped, small = self._dense_setup()
+        group_lens = [700, 1, 581]
+        sym, idx = _random_stream(rng, sum(group_lens), esc_rate=0.06)
+        data = lanes_encode(sym, idx, group_lens, capped, lanes=self.LANES)
+        states, words, byp = lanes_split(data, self.LANES)
+        rep = lambda x: jnp.asarray(np.stack([x] * self.B))
+        dummy = jnp.zeros((1, 2), jnp.uint32)
+        fix = rt.escape_fixup_tables(capped)
+        out = {}
+        for pallas in (False, True):
+            carry = rt.init_lane_state(rep(states))
+            got, base = [], 0
+            for gl in group_lens:
+                carry, s = rt.decode_group(
+                    carry, rep(words), rep(byp),
+                    rep(np.asarray(idx[base : base + gl], np.int32)),
+                    dummy, lanes=self.LANES, small=small, escfix=fix,
+                    pallas=pallas,
+                )
+                got.append(np.asarray(s))
+                base += gl
+            out[pallas] = (np.concatenate(got, axis=-1), carry)
+        (sym_p, c_p), (sym_x, c_x) = out[True], out[False]
+        np.testing.assert_array_equal(sym_p, sym_x)
+        np.testing.assert_array_equal(sym_p[0].astype(np.int16), sym)
+        for a, b in zip(c_p, c_x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_encode_matches_scan_out(self, monkeypatch):
+        monkeypatch.setenv("RGBDC_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(67)
+        capped, small = self._dense_setup()
+        group_lens = [500, 277]
+        n = sum(group_lens)
+        sym = np.stack(
+            [TestDenseCappedTables._stream(TestDenseCappedTables(), rng, n)[0]
+             for _ in range(self.B)]
+        )
+        idx = np.stack(
+            [rng.integers(0, len(capped.cdf_length), n).astype(np.uint8)
+             for _ in range(self.B)]
+        )
+        dummy = jnp.zeros((1,), jnp.uint32)
+        out = {}
+        for pallas in (False, True):
+            st, wc, wd = rt.encode_groups(
+                jnp.asarray(sym.astype(np.int16)), jnp.asarray(idx), dummy,
+                lanes=self.LANES, group_lens=group_lens, wcap=512,
+                small=small, unroll=1, scan_out=not pallas, pallas=pallas,
+            )
+            out[pallas] = (np.asarray(st), np.asarray(wc), np.asarray(wd))
+        for a, b in zip(out[True], out[False]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestDeviceEncoder:
     """On-device reverse-scan encoder: its containers must decode exactly
     with BOTH the C mirror and the JAX lockstep decoder."""

@@ -1,0 +1,491 @@
+"""Pallas decode-scan probe: can a hand-written Mosaic kernel beat the XLA
+lax.scan's ~20 ns/sym floor on the dense-table (RGBDC_DENSE128) decode?
+
+The XLA scan runs ~100x above the VPU op-count floor (docs/PERF.md), which
+smells like per-step overhead (HBM round-trips of the carry, fusion
+boundaries) rather than vector throughput — exactly what a VMEM-resident
+sequential-grid Pallas kernel removes.  But two constructs are uncertain
+on this toolchain's Mosaic (round 2: jnp.take/take_along_axis failed to
+lower with "Only 2D gather" / HTTP 500):
+
+  G1  2D take_along_axis inside a kernel (per-lane word fetch)
+  G2  flat 1D jnp.take inside a kernel
+
+and the kernel itself has layout-sensitive pieces (trailing-dim reshapes,
+one-hot matmul).  This probe times/validates, in order:
+
+  P0  XLA baseline: rans_tpu.decode_group in dense-total + escfix mode
+  P3  Pallas carry-only scan (state advance, no lookup/renorm): the floor
+  P1  Pallas full dense decode row, gather-free (one-hot matmul lookup,
+      one-hot word fetch over W)
+  P2  P1 with take_along_axis lookup/fetch (only if G1 lowered)
+
+Run on CPU (interpret=True, bit-exactness only):
+    JAX_PLATFORMS=cpu PROBE_INTERPRET=1 python tools/probe_pallas.py
+Run on TPU (lowering + timing):
+    python tools/probe_pallas.py
+
+Every Pallas candidate is checked bit-exact against P0 before timing.
+"""
+
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INTERPRET = os.environ.get("PROBE_INTERPRET", "0") == "1"
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rgbdc_tpu.coder import rans_tpu as rt
+from rgbdc_tpu.coder.rans import lanes_encode, lanes_split
+from rgbdc_tpu.entropy import get_scale_table
+from rgbdc_tpu.entropy.tables import build_gaussian_tables
+
+B = int(os.environ.get("PROBE_B", "16"))
+LANES = int(os.environ.get("PROBE_LANES", "512"))
+STEPS = int(os.environ.get("PROBE_STEPS", "64" if INTERPRET else "400"))
+W = int(os.environ.get("PROBE_W", "64"))
+CAP = 130
+
+R = B * LANES
+RS, RL = R // 128, 128  # [RS, 128] layout for all per-lane tensors
+
+TABLE = rt.cap_table(build_gaussian_tables(get_scale_table()), CAP)
+N_ROWS = TABLE.cdf.shape[0]
+SMALL = rt.build_small_tables(TABLE, k_cap=CAP, r_max=1 << 30)
+assert SMALL is not None and SMALL[3] == N_ROWS
+AUG = np.concatenate(
+    [np.asarray(SMALL[0]), np.asarray(SMALL[1])[:, None],
+     np.asarray(SMALL[2])[:, None]], axis=1,
+).astype(np.float32)  # [N_ROWS, K+2]
+K = AUG.shape[1] - 2
+BIGF = np.float32(1 << 20)
+
+
+def make_stream(rng):
+    """Encode one LANES*STEPS-symbol stream (one group) with the capped
+    table — rows drawn from the trained-regime narrow prefix — and
+    replicate its wire B times (timing needs realistic shapes, not
+    distinct per-image content)."""
+    n = LANES * STEPS
+    idx = rng.integers(0, 24, n).astype(np.uint8)
+    # in-range symbols only: the Pallas kernels output escape PLACEHOLDERS
+    # (value fixup happens post-scan, rans_tpu._escape_fixup), so an
+    # escape-free stream lets the exactness check compare symbols directly
+    maxv = np.asarray(TABLE.cdf_length)[idx] - 2
+    off = np.asarray(TABLE.offset)[idx]
+    sym = (rng.integers(0, 1 << 30, n) % maxv + off).astype(np.int16)
+    data = lanes_encode(sym, idx, [n], TABLE, lanes=LANES)
+    states, words, byp = lanes_split(data, LANES)
+    # batchify: replicate the single-stream wire B times (timing only needs
+    # realistic shapes, not distinct content)
+    st = np.broadcast_to(states, (B, LANES)).copy()
+    wd = np.broadcast_to(words, (B,) + words.shape).copy()
+    bp = np.broadcast_to(byp, (B,) + byp.shape).copy()
+    idx_b = np.broadcast_to(idx, (B, n)).copy()
+    sym_b = np.broadcast_to(sym, (B, n)).copy()
+    return st, wd, bp, idx_b, sym_b
+
+
+def p0_xla(st, wd, bp, idx_b):
+    """Baseline: decode_group dense-total escfix (the RGBDC_DENSE128 path).
+    NOTE: decode one [B, n] group; symbols compare against the encoder's."""
+    dummy = jnp.zeros((1, 2), jnp.uint32)
+    fix = rt.escape_fixup_tables(TABLE)
+
+    @jax.jit
+    def run(st, wd, bp, idx_b):
+        carry = rt.init_lane_state(st)
+        carry, syms = rt.decode_group(
+            carry, wd, bp, idx_b.astype(jnp.int32), dummy, lanes=LANES,
+            small=SMALL, escfix=(jnp.asarray(fix[0]), jnp.asarray(fix[1])),
+        )
+        return carry.state, carry.pos, syms
+
+    return run(jnp.asarray(st), jnp.asarray(wd), jnp.asarray(bp),
+               jnp.asarray(idx_b))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels.  Layout: per-lane tensors [RS, 128] (R = B*LANES lanes in
+# row-major [B, LANES] order); words transposed to [W, RS, 128] i32 outside.
+# idx/act per step ride as [1, RS, 128] blocks of [STEPS, RS, 128] inputs.
+# ---------------------------------------------------------------------------
+
+
+def _fetch_onehot(words_ref, pos):
+    """Gather-free word fetch: sum_w words[w] * (pos == w).  O(W) VPU ops."""
+    out = jnp.zeros(pos.shape, jnp.int32)
+    for w in range(words_ref.shape[0]):
+        out = out + jnp.where(pos == w, words_ref[w], 0)
+    return out
+
+
+def _lookup_matmul(aug, idx, cum):
+    """One-hot matmul lookup: [R, N_ROWS] @ [N_ROWS, K+2] then masked
+    reductions.  Needs a trailing-dim reshape [RS,128]->[R,1] to build the
+    one-hot; G-tests tell us whether Mosaic accepts it."""
+    idx_f = idx.reshape(R, 1)
+    oh = (idx_f == jax.lax.broadcasted_iota(jnp.int32, (R, N_ROWS), 1)).astype(
+        jnp.float32
+    )
+    rowx = jax.lax.dot_general(
+        oh, aug, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, K+2]
+    row = rowx[:, :K]
+    off = rowx[:, K].astype(jnp.int32).reshape(RS, RL)
+    maxv = rowx[:, K + 1].reshape(RS, RL)
+    cumf = cum.astype(jnp.float32).reshape(R, 1)
+    le = row <= cumf
+    s = jnp.sum(le[:, 1:].astype(jnp.int32), axis=1).reshape(RS, RL)
+    start = jnp.max(jnp.where(le, row, 0.0), axis=1).reshape(RS, RL)
+    nxt = jnp.min(jnp.where(le, BIGF, row), axis=1).reshape(RS, RL)
+    return s, start, nxt, off, maxv
+
+
+def _lookup_gather(aug, idx, cum):
+    """take_along_axis lookup (G1 capability): fetch the K+2 row then the
+    same masked reductions."""
+    rowx = jnp.take(aug, idx.reshape(-1), axis=0)  # [R, K+2]
+    row = rowx[:, :K]
+    off = rowx[:, K].astype(jnp.int32).reshape(RS, RL)
+    maxv = rowx[:, K + 1].reshape(RS, RL)
+    cumf = cum.astype(jnp.float32).reshape(R, 1)
+    le = row <= cumf
+    s = jnp.sum(le[:, 1:].astype(jnp.int32), axis=1).reshape(RS, RL)
+    start = jnp.max(jnp.where(le, row, 0.0), axis=1).reshape(RS, RL)
+    nxt = jnp.min(jnp.where(le, BIGF, row), axis=1).reshape(RS, RL)
+    return s, start, nxt, off, maxv
+
+
+def _decode_kernel(idx_ref, act_ref, words_ref, aug_ref, st_in_ref,
+                   pos_in_ref, sym_ref, esc_ref, st_out_ref, pos_out_ref,
+                   state_scr, pos_scr, *, lookup):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        state_scr[:] = st_in_ref[:]
+        pos_scr[:] = pos_in_ref[:]
+
+    state = state_scr[:]
+    pos = pos_scr[:]
+    idx = idx_ref[0]
+    act = act_ref[0] != 0
+    cum = (state & 0xFFFF).astype(jnp.int32)
+
+    s, start, nxt, off, maxv = lookup(aug_ref[:], idx, cum)
+    freq = (nxt - start).astype(jnp.uint32)
+    start_i = start.astype(jnp.int32)
+    esc = s.astype(jnp.float32) == maxv
+    value = jnp.where(esc, maxv.astype(jnp.int32), s) + off
+
+    adv = (state >> 16) * freq + cum.astype(jnp.uint32) - start_i.astype(
+        jnp.uint32
+    )
+    need = act & (adv < jnp.uint32(1 << 16))
+    w = _fetch_onehot(words_ref, jnp.where(need, pos, -1)).astype(jnp.uint32)
+    adv = jnp.where(need, (adv << 16) | w, adv)
+    npos = pos + need.astype(jnp.int32)
+
+    state_scr[:] = jnp.where(act, adv, state)
+    pos_scr[:] = jnp.where(act, npos, pos)
+    sym_ref[0] = jnp.where(act, value, 0)
+    esc_ref[0] = (act & esc).astype(jnp.int32)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        st_out_ref[:] = state_scr[:]
+        pos_out_ref[:] = pos_scr[:]
+
+
+def _carry_only_kernel(idx_ref, act_ref, words_ref, aug_ref, st_in_ref,
+                       pos_in_ref, sym_ref, esc_ref, st_out_ref, pos_out_ref,
+                       state_scr, pos_scr):
+    """P3: floor probe — state advance with a FIXED (start, freq), no
+    lookup, no renorm fetch.  Measures the irreducible per-step cost of a
+    sequential-grid kernel with a [RS,128] carry."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        state_scr[:] = st_in_ref[:]
+        pos_scr[:] = pos_in_ref[:]
+
+    state = state_scr[:]
+    idx = idx_ref[0]
+    cum = (state & 0xFFFF).astype(jnp.uint32)
+    adv = (state >> 16) * jnp.uint32(512) + cum
+    state_scr[:] = adv
+    sym_ref[0] = idx
+    esc_ref[0] = jnp.zeros_like(idx)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        st_out_ref[:] = state_scr[:]
+        pos_out_ref[:] = pos_scr[:]
+
+
+def _encode_kernel(idx_ref, sym_ref, act_ref, aug_ref,
+                   word_ref, emit_ref, st_out_ref, state_scr):
+    """P4: scan-output encode row (reverse lockstep, rans_tpu._encode_row
+    scan_out mode).  Fully gather-free: the (start, freq) lookup is the
+    one-hot matmul + ONE compare mask over the symbol VALUE (known on the
+    encoder), and words leave as per-step outputs — no scatter, no fetch."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        state_scr[:] = jnp.full(state_scr.shape, jnp.uint32(1 << 16))
+
+    state = state_scr[:]
+    idx = idx_ref[0]
+    sym = sym_ref[0]
+    act = act_ref[0] != 0
+
+    aug = aug_ref[:]
+    idx_f = idx.reshape(R, 1)
+    oh = (idx_f == jax.lax.broadcasted_iota(jnp.int32, (R, N_ROWS), 1)).astype(
+        jnp.float32
+    )
+    rowx = jax.lax.dot_general(
+        oh, aug, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    row = rowx[:, :K]
+    off = rowx[:, K].astype(jnp.int32).reshape(RS, RL)
+    maxv = rowx[:, K + 1].astype(jnp.int32).reshape(RS, RL)
+    v = sym - off
+    v = jnp.where((v >= 0) & (v < maxv), v, maxv)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    le = ks <= v.reshape(R, 1)
+    start = jnp.max(jnp.where(le, row, 0.0), axis=1).reshape(RS, RL)
+    freq32 = (
+        jnp.min(jnp.where(le, BIGF, row), axis=1).reshape(RS, RL) - start
+    ).astype(jnp.uint32)
+    freq = jnp.maximum(freq32, 1)
+    start_u = start.astype(jnp.uint32)
+
+    emit = act & (state >= (freq << 16))
+    word = (state & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    state = jnp.where(emit, state >> 16, state)
+    q = state // freq
+    r_ = state - q * freq
+    nstate = (q << 16) + r_ + start_u
+    state_scr[:] = jnp.where(act, nstate, state)
+    word_ref[0] = word
+    emit_ref[0] = emit.astype(jnp.int32)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        st_out_ref[:] = state_scr[:]
+
+
+def build_encode_pallas(steps):
+    grid = (steps,)
+    step_spec = pl.BlockSpec((1, RS, RL), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((RS, RL), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    aug_spec = pl.BlockSpec((N_ROWS, AUG.shape[1]), lambda t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(idx_rows, sym_rows, act_rows, aug):
+        return pl.pallas_call(
+            _encode_kernel,
+            grid=grid,
+            in_specs=[step_spec, step_spec, step_spec, aug_spec],
+            out_specs=[step_spec, step_spec, lane_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((steps, RS, RL), jnp.int32),
+                jax.ShapeDtypeStruct((steps, RS, RL), jnp.int32),
+                jax.ShapeDtypeStruct((RS, RL), jnp.uint32),
+            ],
+            scratch_shapes=[pltpu.VMEM((RS, RL), jnp.uint32)],
+            interpret=INTERPRET,
+        )(idx_rows, sym_rows, act_rows, aug)
+
+    return run
+
+
+def build_pallas(kernel, lookup=None, n_words=None):
+    k = kernel if lookup is None else functools.partial(kernel, lookup=lookup)
+    grid = (STEPS,)
+    step_spec = pl.BlockSpec((1, RS, RL), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((RS, RL), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    words_spec = pl.BlockSpec((n_words or W, RS, RL), lambda t: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    aug_spec = pl.BlockSpec((N_ROWS, AUG.shape[1]), lambda t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(idx_rows, act_rows, words3, aug, st, pos):
+        return pl.pallas_call(
+            k,
+            grid=grid,
+            in_specs=[step_spec, step_spec, words_spec, aug_spec, lane_spec,
+                      lane_spec],
+            out_specs=[step_spec, step_spec, lane_spec, lane_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((STEPS, RS, RL), jnp.int32),
+                jax.ShapeDtypeStruct((STEPS, RS, RL), jnp.int32),
+                jax.ShapeDtypeStruct((RS, RL), jnp.uint32),
+                jax.ShapeDtypeStruct((RS, RL), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((RS, RL), jnp.uint32),
+                pltpu.VMEM((RS, RL), jnp.int32),
+            ],
+            interpret=INTERPRET,
+        )(idx_rows, act_rows, words3, aug, st, pos)
+
+    return run
+
+
+def prep_pallas_inputs(st, wd, idx_b):
+    """[B, LANES(,W)] wire tensors -> kernel layout.  The word buffer is
+    sized to the actual wire (rounded up to 8) so the one-hot fetch never
+    runs out of capacity."""
+    n = idx_b.shape[1]
+    assert n == R * STEPS // B, (n, R, STEPS)
+    steps = n // LANES
+    idx_rows = (
+        idx_b.astype(np.int32).reshape(B, steps, LANES).transpose(1, 0, 2)
+    )  # [steps, B, LANES]
+    idx_rows = idx_rows.reshape(steps, RS, RL)
+    act_rows = np.ones_like(idx_rows)
+    n_words = -(-int(wd.shape[-1]) // 8) * 8
+    wdW = np.zeros((B, LANES, n_words), np.int32)
+    wdW[:, :, : wd.shape[-1]] = wd
+    words3 = wdW.reshape(RS, RL, n_words).transpose(2, 0, 1).copy()
+    st2 = st.astype(np.uint32).reshape(RS, RL)
+    pos2 = np.zeros((RS, RL), np.int32)
+    return (jnp.asarray(idx_rows), jnp.asarray(act_rows),
+            jnp.asarray(words3), jnp.asarray(AUG), jnp.asarray(st2),
+            jnp.asarray(pos2))
+
+
+def sync(x):
+    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
+
+def timeit(fn, args, reps=5):
+    outs = fn(*args)
+    sync(outs)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        outs = fn(*args)
+        sync(outs)
+        ts.append(time.time() - t0)
+    return min(ts), outs
+
+
+def main():
+    rng = np.random.default_rng(0)
+    st, wd, bp, idx_b, sym_b = make_stream(rng)
+    nsym = idx_b.size  # B * LANES * STEPS decoded symbols
+
+    # ---- P0: XLA dense scan baseline --------------------------------------
+    t0, (st0, pos0, sym0) = timeit(
+        lambda *a: p0_xla(*a), (st, wd, bp, idx_b), reps=3
+    )
+    sym0 = np.asarray(sym0)
+    ok0 = np.array_equal(sym0.astype(np.int16), sym_b)
+    print(f"P0 xla-dense:  {t0*1e3:8.1f} ms  {t0/nsym*1e9:6.2f} ns/sym  "
+          f"exact={ok0}", flush=True)
+
+    pal_in = prep_pallas_inputs(st, wd, idx_b)
+    n_words = int(pal_in[2].shape[0])
+    print(f"shapes: R={R} steps={STEPS} n_rows={N_ROWS} K={K} "
+          f"words/lane={n_words}", flush=True)
+
+    # ---- G-tests + candidates ---------------------------------------------
+    def try_one(name, kernel, lookup=None, check=True):
+        try:
+            run = build_pallas(kernel, lookup, n_words=n_words)
+            t, outs = timeit(run, pal_in, reps=3)
+        except Exception as e:  # lowering/runtime failure is a RESULT here
+            print(f"{name}: FAILED — {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            return None
+        syms, escs, st_f, pos_f = outs
+        line = f"{name}: {t*1e3:8.1f} ms  {t/nsym*1e9:6.2f} ns/sym"
+        if check:
+            got = np.asarray(syms).reshape(STEPS, B, LANES).transpose(1, 0, 2)
+            got = got.reshape(B, -1).astype(np.int16)
+            line += f"  exact={np.array_equal(got, sym_b)}"
+            line += f"  state_match={np.array_equal(np.asarray(st_f).reshape(B, LANES), np.asarray(st0))}"
+        print(line, flush=True)
+        return t
+
+    try_one("P3 carry-only", _carry_only_kernel, check=False)
+    try_one("P1 onehot     ", _decode_kernel, lookup=_lookup_matmul)
+    try_one("P2 gather     ", _decode_kernel, lookup=_lookup_gather)
+
+    # ---- P4: scan-output encode kernel vs rt.encode_groups ----------------
+    n = idx_b.shape[1]
+    wcap = STEPS + 8
+
+    @jax.jit
+    def ref_encode(sym, idx):
+        return rt.encode_groups(
+            sym, idx, jnp.zeros((1,), jnp.uint32), lanes=LANES,
+            group_lens=[n], wcap=wcap, small=SMALL, unroll=1, scan_out=True,
+        )
+
+    tr0, (st_r, wc_r, wd_r) = timeit(
+        ref_encode, (jnp.asarray(sym_b), jnp.asarray(idx_b)), reps=3
+    )
+    print(f"E0 xla-encode: {tr0*1e3:8.1f} ms  {tr0/nsym*1e9:6.2f} ns/sym",
+          flush=True)
+
+    rev = lambda a: np.ascontiguousarray(
+        a.astype(np.int32).reshape(B, STEPS, LANES).transpose(1, 0, 2)[::-1]
+        .reshape(STEPS, RS, RL)
+    )
+    args_e = (jnp.asarray(rev(idx_b)), jnp.asarray(rev(sym_b)),
+              jnp.asarray(np.ones((STEPS, RS, RL), np.int32)),
+              jnp.asarray(AUG))
+    try:
+        run_e = build_encode_pallas(STEPS)
+        te, (words_o, emit_o, st_f) = timeit(run_e, args_e, reps=3)
+    except Exception as e:
+        print(f"P4 encode: FAILED — {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return
+    wo = np.asarray(words_o).reshape(STEPS, B, LANES)
+    eo = np.asarray(emit_o).reshape(STEPS, B, LANES).astype(bool)
+    st_ok = np.array_equal(
+        np.asarray(st_f).reshape(B, LANES), np.asarray(st_r)
+    )
+    wc_ok = np.array_equal(eo.sum(0), np.asarray(wc_r))
+    wd_r_np, wc_r_np = np.asarray(wd_r), np.asarray(wc_r)
+    w_ok = all(
+        np.array_equal(
+            wo[eo[:, b, l], b, l].astype(np.uint16),
+            wd_r_np[b, l, : wc_r_np[b, l]],
+        )
+        for b in range(B) for l in range(0, LANES, 7)
+    )
+    print(f"P4 encode:     {te*1e3:8.1f} ms  {te/nsym*1e9:6.2f} ns/sym  "
+          f"state={st_ok} wcounts={wc_ok} words={w_ok}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
