@@ -1021,7 +1021,10 @@ class UnitedCodec:
         # so every cross-path byte-identity below still holds.
         self._dense = os.environ.get("RGBDC_DENSE128", "0") == "1"
         if self._dense:
-            dense_cap = int(os.environ.get("RGBDC_DENSE_CAP", "130"))
+            # 126 = 124 real symbols + escape + terminator: the augmented
+            # dense table (k_cap + offset/maxv columns) lands on exactly
+            # 128 lanes — one tile for the per-row matmul and compares
+            dense_cap = int(os.environ.get("RGBDC_DENSE_CAP", "126"))
             self._comb_r = _rt.cap_table(self._comb_r, dense_cap)
             self._comb_d = _rt.cap_table(self._comb_d, dense_cap)
         lanes = self.LANES
@@ -1099,6 +1102,15 @@ class UnitedCodec:
         # live sigma predictions).  "auto" starts compact and self-tunes:
         # if a compress sees the idx-mismatch fallback on every slice, the
         # next compress switches to sym5idx.
+        # encoder-scan knobs, SNAPSHOTTED here so that A/B harnesses can
+        # build two codec instances under different env and have each keep
+        # its own config (the encode programs trace lazily, after the
+        # harness has restored the env — tools/prof_knobs_ab.py)
+        self._enc_scanout = os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1"
+        self._enc_unroll = int(os.environ.get("RGBDC_ENC_UNROLL", "4"))
+        self._enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
+        if self._enc_pallas and not self._dense:
+            raise ValueError("RGBDC_ENC_PALLAS=1 requires RGBDC_DENSE128=1")
         self._pull_auto = True
         self._pull_mode = os.environ.get("RGBDC_PULL", "auto")
         if self._pull_mode not in ("auto", "compact", "sym5idx"):
@@ -1441,15 +1453,12 @@ class UnitedCodec:
                 pack, mode="drop"
             )
 
-            enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
-            if enc_pallas and not self._dense:
-                raise ValueError("RGBDC_ENC_PALLAS=1 requires RGBDC_DENSE128=1")
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
                 small=small,
-                unroll=int(os.environ.get("RGBDC_ENC_UNROLL", "4")),
-                scan_out=os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1",
-                pallas=enc_pallas,
+                unroll=self._enc_unroll,
+                scan_out=self._enc_scanout,
+                pallas=self._enc_pallas,
             )
             return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 

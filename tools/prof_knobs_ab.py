@@ -5,12 +5,17 @@ per run (tunnel drifts by the hour — never compare across sessions):
     KNOB=flat    python tools/prof_knobs_ab.py   # RGBDC_FLAT_UPLOAD
     KNOB=flow16  python tools/prof_knobs_ab.py   # RGBDC_BF16_FLOW
     KNOB=escfix  python tools/prof_knobs_ab.py   # RGBDC_DEC_ESCFIX
+    KNOB=dense   python tools/prof_knobs_ab.py   # RGBDC_DENSE128 (tables only)
+    KNOB=stack   python tools/prof_knobs_ab.py   # dense+escfix+Pallas scans
 
 Builds TWO UnitedCodec instances over the same calib params (knob read at
 construction), warms both, then alternates timed runs A B A B ... per
-docs/PERF.md discipline.  scanout/flat are byte-identical layouts, so the
-script also cross-checks stream equality; flow16 changes mu/sigma, so it
-only checks each side's own closure.
+docs/PERF.md discipline.  scanout/flat/escfix are byte-identical layouts,
+so the script also cross-checks stream equality; flow16/dense/stack change
+the streams (mu/sigma resp. capped tables), so they only check each
+side's own closure.  KNOB=stack forces RGBDC_WMAX=128 for BOTH sides (the
+Pallas renorm fetch is a one-hot over the word columns; trained 512-lane
+streams use ~7).
 """
 import os, time
 
@@ -20,12 +25,18 @@ os.environ.setdefault("RGBDC_BF16", "1")
 os.environ.setdefault("RGBDC_LANES", "512")
 
 KNOB = os.environ.get("KNOB", "scanout").lower()
-ENV = {
-    "scanout": "RGBDC_ENC_SCANOUT",
-    "flat": "RGBDC_FLAT_UPLOAD",
-    "flow16": "RGBDC_BF16_FLOW",
-    "escfix": "RGBDC_DEC_ESCFIX",
+ENVS = {
+    "scanout": ["RGBDC_ENC_SCANOUT"],
+    "flat": ["RGBDC_FLAT_UPLOAD"],
+    "flow16": ["RGBDC_BF16_FLOW"],
+    "escfix": ["RGBDC_DEC_ESCFIX"],
+    "dense": ["RGBDC_DENSE128"],
+    "stack": ["RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_DEC_PALLAS",
+              "RGBDC_ENC_PALLAS"],
 }[KNOB]
+ENV = "+".join(ENVS)
+if KNOB == "stack":
+    os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
 REPS = int(os.environ.get("REPS", "4"))
 
 import jax, jax.numpy as jnp, numpy as np
@@ -50,8 +61,13 @@ variables = {"params": load_calib_params_device(ck, variables["params"])}
 
 
 def build(on: bool):
-    os.environ[ENV] = "1" if on else "0"
-    return UnitedCodec(model, variables)
+    for e in ENVS:
+        os.environ[e] = "1" if on else "0"
+    c = UnitedCodec(model, variables)
+    # snapshot the knobs NOW (the fused programs trace lazily, after this
+    # function has restored the env for the other side)
+    c._lane_setup()
+    return c
 
 
 def sync1(x):
@@ -59,7 +75,8 @@ def sync1(x):
 
 
 codec_a, codec_b = build(False), build(True)
-os.environ[ENV] = "0"
+for e in ENVS:
+    os.environ[e] = "0"
 
 # warm both (compiles + pull tuners + speculative-pull state)
 outs = {}
