@@ -1074,6 +1074,15 @@ class UnitedCodec:
             )
             assert self._small_r[3] == self._comb_r.cdf.shape[0]
             assert self._small_d[3] == self._comb_d.cdf.shape[0]
+            # y-group decode tables: y indexes are always gaussian rows
+            # (< 64), so the y scans' one-hot needs only that prefix — a
+            # 4x narrower matmul/compare per row than the combined table
+            # (z scans keep the combined table: their idx start at 64)
+            y_rows = self.tables.gc.cdf.shape[0]
+            self._small_y = {
+                m: (s[0][:y_rows], s[1][:y_rows], s[2][:y_rows], y_rows)
+                for m, s in (("r", self._small_r), ("d", self._small_d))
+            }
             self._enc_lut_r = put(jnp.zeros((1,), jnp.uint32))
             self._enc_lut_d = self._enc_lut_r
         else:
@@ -1124,7 +1133,13 @@ class UnitedCodec:
             "d": np.asarray(self._comb_d.cdf_length - 2, np.int32),
         }
 
-        small_r, small_d = self._small_r, self._small_d
+        # y scans use the gaussian-prefix tables in dense mode (narrower
+        # one-hot); the z scans below always get the combined tables
+        zc_small_r, zc_small_d = self._small_r, self._small_d
+        if self._dense:
+            small_r, small_d = self._small_y["r"], self._small_y["d"]
+        else:
+            small_r, small_d = self._small_r, self._small_d
 
         # escape-fixup decode (RGBDC_DEC_ESCFIX=1, serving opt-in): the
         # decode scan body drops its escape while_loop (bypass nibbles
@@ -1208,14 +1223,18 @@ class UnitedCodec:
                 # (LUT path); in dense mode the capped table covers them,
                 # and the dummy-LUT gather must never run
                 carry = _rt.LaneState(*st3)
+                # z stays on the XLA scan even under RGBDC_DEC_PALLAS: z is
+                # ~2-4% of the symbols, and its combined-table one-hot
+                # (64 + N rows) would quadruple the kernel's matmul width
+                # and VMEM footprint for no meaningful win
                 carry, flat = _rt.decode_group(
                     carry, words, byp, zidx, lut, lanes, escfix=escfix,
-                    small=small, pallas=dec_pallas,
+                    small=small,
                 )
                 return tuple(carry), flat.reshape(b, zh, zw, n)
 
-            z_small_r = small_r if self._dense else None
-            z_small_d = small_d if self._dense else None
+            z_small_r = zc_small_r if self._dense else None
+            z_small_d = zc_small_d if self._dense else None
             r_st3, rz = jax.lax.cond(
                 is_decode,
                 lambda: dec_mod(r_st3, r_words, r_byp, lut_r, escfix_r,
