@@ -1169,6 +1169,11 @@ class UnitedCodec:
                 "RGBDC_DEC_PALLAS=1 requires RGBDC_DENSE128=1 and "
                 "RGBDC_DEC_ESCFIX=1"
             )
+        if dec_pallas and self._flat_upload:
+            raise ValueError(
+                "RGBDC_DEC_PALLAS=1 needs the [b, lanes, W] word layout "
+                "(unset RGBDC_FLAT_UPLOAD)"
+            )
 
         # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
         # the fused stage programs' context/aggregation convs run in bf16.

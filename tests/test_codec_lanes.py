@@ -409,6 +409,49 @@ class TestDeviceEncodePath:
             np.asarray(dec_d["y_hat"]["d"]), np.asarray(out_d["y_hat"]["d"])
         )
 
+    def test_pallas_stack_streams_and_closure(self, monkeypatch):
+        """The full Pallas serving stack (DENSE128 + ESCFIX + DEC_PALLAS +
+        ENC_PALLAS, interpret mode on CPU): streams must be byte-identical
+        to the dense XLA stack (the kernels are drop-in scan backends) and
+        the decode bit-exact."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        monkeypatch.setenv("RGBDC_DENSE128", "1")
+        monkeypatch.setenv("RGBDC_DEC_ESCFIX", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(37)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        xla = UnitedCodec(model, v)
+        out_x = xla.compress_lanes(rgb, depth)
+
+        monkeypatch.setenv("RGBDC_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RGBDC_DEC_PALLAS", "1")
+        monkeypatch.setenv("RGBDC_ENC_PALLAS", "1")
+        pal = UnitedCodec(model, v)
+        out_p = pal.compress_lanes(rgb, depth)
+        assert out_p["r_streams"] == out_x["r_streams"]
+        assert out_p["d_streams"] == out_x["d_streams"]
+        dec_p = pal.decompress_lanes(
+            out_p["r_streams"], out_p["d_streams"], out_p["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_p["y_hat"]["r"]), np.asarray(out_p["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_p["y_hat"]["d"]), np.asarray(out_p["y_hat"]["d"])
+        )
+
     def test_full_serving_config_combined(self, monkeypatch):
         """All serving knobs ON together (DEVICE_ENCODE + ENC_SCANOUT +
         FLAT_UPLOAD + BF16_FLOW): the combination must hold the bit-exact
