@@ -844,6 +844,7 @@ def encode_groups(
     unroll: int = 4,
     scan_out: bool = False,
     pallas: bool = False,
+    small_z=None,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -889,10 +890,28 @@ def encode_groups(
             jnp.broadcast_to(valid[:, None, :], (steps, b, lanes))
         )
         basep += gl
-    # reverse row order: LIFO encoding mirrors the forward decode rows
-    idx_r = jnp.concatenate(idx_rows, axis=0)[::-1]
-    sym_r = jnp.concatenate(sym_rows, axis=0)[::-1]
-    act_r = jnp.concatenate(act_rows, axis=0)[::-1]
+    # reverse row order: LIFO encoding mirrors the forward decode rows.
+    # With small_z (dense mode), the scan SPLITS at the z/y boundary:
+    # group 0 (z) rows use the combined table, the y groups the narrow
+    # gaussian prefix — every row belongs to exactly one group, so the
+    # split changes nothing about processing order (y rows first in the
+    # reversed scan, then z) and streams stay byte-identical.
+    if small_z is not None and len(group_lens) > 1:
+        segs = [
+            (jnp.concatenate(idx_rows[1:], axis=0)[::-1],
+             jnp.concatenate(sym_rows[1:], axis=0)[::-1],
+             jnp.concatenate(act_rows[1:], axis=0)[::-1], small),
+            (idx_rows[0][::-1], sym_rows[0][::-1], act_rows[0][::-1],
+             small_z),
+        ]
+    else:
+        segs = [
+            (jnp.concatenate(idx_rows, axis=0)[::-1],
+             jnp.concatenate(sym_rows, axis=0)[::-1],
+             jnp.concatenate(act_rows, axis=0)[::-1], small),
+        ]
+
+    state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
 
     if pallas:
         # Pallas backend (rans_pallas.encode_rows): dense-total tables
@@ -900,76 +919,88 @@ def encode_groups(
         # shared with the scan_out path — bit-identical streams.
         from . import rans_pallas
 
-        assert small is not None
-        state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
-        state, words_o, emit_o = rans_pallas.encode_rows(
-            state0, idx_r, sym_r, act_r, small
+        state, wo_all, eo_all = state0, [], []
+        for idx_r, sym_r, act_r, sm in segs:
+            assert sm is not None
+            state, words_o, emit_o = rans_pallas.encode_rows(
+                state, idx_r, sym_r, act_r, sm
+            )
+            wo_all.append(words_o)
+            eo_all.append(emit_o)
+        wpos, words = _compact_words(
+            jnp.concatenate(wo_all, axis=0), jnp.concatenate(eo_all, axis=0),
+            b, lanes, wcap,
         )
-        wpos, words = _compact_words(words_o, emit_o, b, lanes, wcap)
         return state, wpos, words
 
-    # pad the row count to a multiple of ``unroll`` with inactive rows
-    # AT THE FRONT (they run first in the reverse scan and are no-ops:
-    # act=False emits nothing and leaves state untouched)
-    rows = idx_r.shape[0]
     k = max(int(unroll), 1)
-    rpad = (-rows) % k
-    if rpad:
-        zrow = jnp.zeros((rpad, b, lanes), jnp.int32)
-        frow = jnp.zeros((rpad, b, lanes), bool)
-        idx_r = jnp.concatenate([zrow, idx_r], axis=0)
-        sym_r = jnp.concatenate([zrow, sym_r], axis=0)
-        act_r = jnp.concatenate([frow, act_r], axis=0)
-    nsteps = (rows + rpad) // k
-    shp = (nsteps, k, b, lanes)
-    idx_r = idx_r.reshape(shp)
-    sym_r = sym_r.reshape(shp)
-    act_r = act_r.reshape(shp)
-    if small is not None:
-        # per-row big-row trigger, precomputed from the input indexes so
-        # the scan body carries no cross-lane any() (see _decode_row)
-        hb_r = jnp.any((idx_r >= small[3]) & act_r, axis=(2, 3))
-    else:
-        hb_r = jnp.zeros((nsteps, k), bool)  # unused
 
-    state0 = jnp.full((b, lanes), RANS32_L, jnp.uint32)
-
-    def row_hb(j, hb_k):
-        return hb_k[j] if small is not None else None
+    def prep(idx_r, sym_r, act_r, sm):
+        # pad the row count to a multiple of ``unroll`` with inactive rows
+        # AT THE FRONT (they run first in the reverse scan and are no-ops:
+        # act=False emits nothing and leaves state untouched)
+        rows = idx_r.shape[0]
+        rpad = (-rows) % k
+        if rpad:
+            zrow = jnp.zeros((rpad, b, lanes), jnp.int32)
+            frow = jnp.zeros((rpad, b, lanes), bool)
+            idx_r = jnp.concatenate([zrow, idx_r], axis=0)
+            sym_r = jnp.concatenate([zrow, sym_r], axis=0)
+            act_r = jnp.concatenate([frow, act_r], axis=0)
+        nsteps = (rows + rpad) // k
+        shp = (nsteps, k, b, lanes)
+        idx_r = idx_r.reshape(shp)
+        sym_r = sym_r.reshape(shp)
+        act_r = act_r.reshape(shp)
+        if sm is not None:
+            # per-row big-row trigger, precomputed from the input indexes
+            # so the scan body carries no cross-lane any() (_decode_row)
+            hb_r = jnp.any((idx_r >= sm[3]) & act_r, axis=(2, 3))
+        else:
+            hb_r = jnp.zeros((nsteps, k), bool)  # unused
+        return idx_r, sym_r, act_r, hb_r, nsteps
 
     if scan_out:
-        def step_o(c, xs):
-            i_k, s_k, a_k, hb_k = xs
-            ws, es = [], []
-            for j in range(k):
-                c, (w, e) = _encode_row(
-                    c, enc_lut, i_k[j], s_k[j], a_k[j], small=small,
-                    has_big=row_hb(j, hb_k),
-                )
-                ws.append(w)
-                es.append(e)
-            return c, (jnp.stack(ws), jnp.stack(es))
+        state, wo_all, eo_all = state0, [], []
+        for idx_r, sym_r, act_r, sm in segs:
+            idx_r, sym_r, act_r, hb_r, nsteps = prep(idx_r, sym_r, act_r, sm)
 
-        state, (words_o, emit_o) = jax.lax.scan(
-            step_o, state0, (idx_r, sym_r, act_r, hb_r)
+            def step_o(c, xs, _sm=sm):
+                i_k, s_k, a_k, hb_k = xs
+                ws, es = [], []
+                for j in range(k):
+                    c, (w, e) = _encode_row(
+                        c, enc_lut, i_k[j], s_k[j], a_k[j], small=_sm,
+                        has_big=(hb_k[j] if _sm is not None else None),
+                    )
+                    ws.append(w)
+                    es.append(e)
+                return c, (jnp.stack(ws), jnp.stack(es))
+
+            state, (words_o, emit_o) = jax.lax.scan(
+                step_o, state, (idx_r, sym_r, act_r, hb_r)
+            )
+            wo_all.append(words_o.reshape(nsteps * k, b, lanes))
+            eo_all.append(emit_o.reshape(nsteps * k, b, lanes))
+        wpos, words = _compact_words(
+            jnp.concatenate(wo_all, axis=0), jnp.concatenate(eo_all, axis=0),
+            b, lanes, wcap,
         )
-        nrows = nsteps * k
-        words_o = words_o.reshape(nrows, b, lanes)
-        emit_o = emit_o.reshape(nrows, b, lanes)
-        wpos, words = _compact_words(words_o, emit_o, b, lanes, wcap)
         return state, wpos, words
 
-    wpos0 = jnp.zeros((b, lanes), jnp.int32)
-    words0 = jnp.zeros((b, lanes, wcap), jnp.uint16)
+    carry = (state0, jnp.zeros((b, lanes), jnp.int32),
+             jnp.zeros((b, lanes, wcap), jnp.uint16))
+    for idx_r, sym_r, act_r, sm in segs:
+        idx_r, sym_r, act_r, hb_r, _ = prep(idx_r, sym_r, act_r, sm)
 
-    def step(c, xs):
-        i_k, s_k, a_k, hb_k = xs
-        for j in range(k):
-            c, _ = _encode_row(c, enc_lut, i_k[j], s_k[j], a_k[j], small=small,
-                               has_big=row_hb(j, hb_k))
-        return c, None
+        def step(c, xs, _sm=sm):
+            i_k, s_k, a_k, hb_k = xs
+            for j in range(k):
+                c, _ = _encode_row(
+                    c, enc_lut, i_k[j], s_k[j], a_k[j], small=_sm,
+                    has_big=(hb_k[j] if _sm is not None else None),
+                )
+            return c, None
 
-    (state, wpos, words), _ = jax.lax.scan(
-        step, (state0, wpos0, words0), (idx_r, sym_r, act_r, hb_r)
-    )
-    return state, wpos, words
+        carry, _ = jax.lax.scan(step, carry, (idx_r, sym_r, act_r, hb_r))
+    return carry

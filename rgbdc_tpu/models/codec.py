@@ -1440,7 +1440,7 @@ class UnitedCodec:
                 out = out + jnp.where(idx == j, jnp.int32(tv), 0)
             return out
 
-        def one(z_sym, groups, enc_lut, off_np, mv_np, small):
+        def one(z_sym, groups, enc_lut, off_np, mv_np, small, small_z=None):
             z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
             zi = jnp.broadcast_to(
                 jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
@@ -1479,19 +1479,27 @@ class UnitedCodec:
 
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
-                small=small,
+                small=small, small_z=small_z,
                 unroll=self._enc_unroll,
                 scan_out=self._enc_scanout,
                 pallas=self._enc_pallas,
             )
             return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 
-        small_r, small_d = self._small_r, self._small_d
+        # dense mode splits the encode scan at the z/y boundary: y rows
+        # (96% of the scan) use the 64-row gaussian prefix, the z segment
+        # the combined table (byte-identical streams — same row order)
+        if self._dense:
+            small_r, small_d = self._small_y["r"], self._small_y["d"]
+            small_z_r, small_z_d = self._small_r, self._small_d
+        else:
+            small_r, small_d = self._small_r, self._small_d
+            small_z_r = small_z_d = None
 
         def run(rz, dz, r_groups, d_groups, lut_r, lut_d):
             return (
-                one(rz, r_groups, lut_r, off_r, mv_r, small_r),
-                one(dz, d_groups, lut_d, off_d, mv_d, small_d),
+                one(rz, r_groups, lut_r, off_r, mv_r, small_r, small_z_r),
+                one(dz, d_groups, lut_d, off_d, mv_d, small_d, small_z_d),
             )
 
         jrun = jax.jit(run)

@@ -348,6 +348,38 @@ class TestPallasBackend:
         for a, b in zip(c_p, c_x):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_encode_zy_split_byte_identical(self):
+        """small_z (dense mode's z/y scan split) must not change anything:
+        same rows in the same order, just narrower tables per segment."""
+        comb = rt.cap_table(
+            rt.combine_tables(TABLE, TABLE), self.CAP
+        )  # rows [0,64) "y", [64,128) "z"-like
+        y_rows = TABLE.cdf.shape[0]
+        small_all = rt.build_small_tables(comb, k_cap=self.CAP, r_max=1 << 30)
+        small_y = tuple(
+            s[:y_rows] if i < 3 else y_rows for i, s in enumerate(small_all)
+        )
+        rng = np.random.default_rng(71)
+        z_len, y1, y2 = 300, 500, 257
+        zi = rng.integers(y_rows, 2 * y_rows, (self.B, z_len))
+        yi = rng.integers(0, y_rows, (self.B, y1 + y2))
+        idx = np.concatenate([zi, yi], axis=1).astype(np.uint8)
+        sym = rng.integers(-40, 40, idx.shape).astype(np.int16)
+        dummy = jnp.zeros((1,), jnp.uint32)
+        out = {}
+        for split in (False, True):
+            out[split] = [
+                np.asarray(a) for a in rt.encode_groups(
+                    jnp.asarray(sym), jnp.asarray(idx), dummy,
+                    lanes=self.LANES, group_lens=[z_len, y1, y2], wcap=512,
+                    small=(small_y if split else small_all),
+                    small_z=(small_all if split else None),
+                    unroll=2, scan_out=True,
+                )
+            ]
+        for a, b in zip(out[True], out[False]):
+            np.testing.assert_array_equal(a, b)
+
     def test_encode_matches_scan_out(self, monkeypatch):
         monkeypatch.setenv("RGBDC_PALLAS_INTERPRET", "1")
         rng = np.random.default_rng(67)
