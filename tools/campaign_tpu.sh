@@ -9,6 +9,9 @@
 #   STEPS="probe stack" bash tools/campaign_tpu.sh   # subset
 set -u
 cd "$(dirname "$0")/.."
+# Prepend (never overwrite) PYTHONPATH: the axon PJRT plugin lives on the
+# inherited PYTHONPATH (/root/.axon_site); clobbering it kills the backend.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 OUT=${OUT:-/tmp/campaign}
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
