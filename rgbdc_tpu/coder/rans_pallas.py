@@ -90,7 +90,9 @@ def _decode_kernel(idx_ref, act_ref, words_ref, aug_ref, st_in_ref,
     nxt = jnp.min(jnp.where(le, jnp.float32(1 << 20), row), axis=1).reshape(
         rs, rl
     )
-    freq = (nxt - start).astype(jnp.uint32)
+    # Mosaic can't lower f32->u32 directly; values are < 2^16 so the
+    # s32 hop is exact.
+    freq = (nxt - start).astype(jnp.int32).astype(jnp.uint32)
     start_i = start.astype(jnp.int32)
     esc = s.astype(jnp.float32) == maxv
     value = jnp.where(esc, maxv.astype(jnp.int32), s) + off
@@ -146,9 +148,9 @@ def _encode_kernel(idx_ref, sym_ref, act_ref, aug_ref, st_in_ref,
             rs, rl
         )
         - start
-    ).astype(jnp.uint32)
+    ).astype(jnp.int32).astype(jnp.uint32)  # f32->u32 won't lower on Mosaic
     freq = jnp.maximum(freq, 1)
-    start_u = start.astype(jnp.uint32)
+    start_u = start.astype(jnp.int32).astype(jnp.uint32)
 
     emit = act & (state >= (freq << 16))
     word = (state & 0xFFFF).astype(jnp.int32)

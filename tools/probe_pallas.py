@@ -187,7 +187,7 @@ def _decode_kernel(idx_ref, act_ref, words_ref, aug_ref, st_in_ref,
     cum = (state & 0xFFFF).astype(jnp.int32)
 
     s, start, nxt, off, maxv = lookup(aug_ref[:], idx, cum)
-    freq = (nxt - start).astype(jnp.uint32)
+    freq = (nxt - start).astype(jnp.int32).astype(jnp.uint32)
     start_i = start.astype(jnp.int32)
     esc = s.astype(jnp.float32) == maxv
     value = jnp.where(esc, maxv.astype(jnp.int32), s) + off
@@ -274,9 +274,9 @@ def _encode_kernel(idx_ref, sym_ref, act_ref, aug_ref,
     start = jnp.max(jnp.where(le, row, 0.0), axis=1).reshape(RS, RL)
     freq32 = (
         jnp.min(jnp.where(le, BIGF, row), axis=1).reshape(RS, RL) - start
-    ).astype(jnp.uint32)
+    ).astype(jnp.int32).astype(jnp.uint32)
     freq = jnp.maximum(freq32, 1)
-    start_u = start.astype(jnp.uint32)
+    start_u = start.astype(jnp.int32).astype(jnp.uint32)
 
     emit = act & (state >= (freq << 16))
     word = (state & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -416,10 +416,10 @@ def main():
           f"words/lane={n_words}", flush=True)
 
     # ---- G-tests + candidates ---------------------------------------------
-    def try_one(name, kernel, lookup=None, check=True):
+    def try_one(name, kernel, lookup=None, check=True, inputs=None, nw=None):
         try:
-            run = build_pallas(kernel, lookup, n_words=n_words)
-            t, outs = timeit(run, pal_in, reps=3)
+            run = build_pallas(kernel, lookup, n_words=nw or n_words)
+            t, outs = timeit(run, inputs or pal_in, reps=3)
         except Exception as e:  # lowering/runtime failure is a RESULT here
             print(f"{name}: FAILED — {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
@@ -435,7 +435,15 @@ def main():
         return t
 
     try_one("P3 carry-only", _carry_only_kernel, check=False)
+    # P3n: same kernel with an 8-word buffer — isolates whether the words
+    # block's VMEM residency/double-buffering is P3's per-step cost
+    pal_in8 = pal_in[:2] + (pal_in[2][:8],) + pal_in[3:]
+    try_one("P3n carry/w8  ", _carry_only_kernel, check=False,
+            inputs=pal_in8, nw=8)
     try_one("P1 onehot     ", _decode_kernel, lookup=_lookup_matmul)
+    try_one("P1n onehot/w64", _decode_kernel, lookup=_lookup_matmul,
+            check=False, inputs=pal_in[:2] + (pal_in[2][:64],) + pal_in[3:],
+            nw=64)
     try_one("P2 gather     ", _decode_kernel, lookup=_lookup_gather)
 
     # ---- P4: scan-output encode kernel vs rt.encode_groups ----------------
