@@ -38,6 +38,23 @@ os.environ.setdefault("RGBDC_BF16", "1")
 # measured 11.3 vs 7.4 img/s on the same day/tunnel.  Cost: the v2 lane
 # container header is 12 B/lane/stream (see docs/PERF.md).
 os.environ.setdefault("RGBDC_LANES", "512")
+# Four independently A/B-won serving knobs (2026-08-18 campaign, each
+# interleaved on/off at bench shapes with streams byte-identical across
+# the knob; docs/PERF.md "Round 3 knob campaign"):
+#   DENSE128   dec 535->472 ms (caps CDF rows at <=126+escape window; the
+#              dense one-hot path then covers ALL rows, killing the big-row
+#              while_loops and the 134 MB packed LUTs)
+#   DEC_ESCFIX dec -30 ms (escape while_loop lifted out of the decode scan;
+#              values patched in a per-ordinal post-pass)
+#   ENC_SCANOUT comp 562->506 ms (scan-output encoder: tiny VMEM carry
+#              instead of the 13 MB HBM word buffer)
+#   FLAT_UPLOAD dec -40 ms (lane-major flat words/nibbles upload, ~4x
+#              fewer h2d bytes)
+# RGBDC_BF16_FLOW stays off: measured neutral (14.69 vs 14.62 img/s).
+os.environ.setdefault("RGBDC_DENSE128", "1")
+os.environ.setdefault("RGBDC_DEC_ESCFIX", "1")
+os.environ.setdefault("RGBDC_ENC_SCANOUT", "1")
+os.environ.setdefault("RGBDC_FLAT_UPLOAD", "1")
 
 # The committed CALIBRATION checkpoint (tools/train_calib.py overfit on the
 # bench content, q=2_2): with it, the bench measures TRAINED statistics —

@@ -505,3 +505,23 @@ class TestDeviceEncodePath:
         np.testing.assert_array_equal(
             np.asarray(dec_a["y_hat"]["d"]), np.asarray(out_a["y_hat"]["d"])
         )
+
+        # The bench.py default serving set (DEVICE_ENCODE + ENC_SCANOUT +
+        # FLAT_UPLOAD + DENSE128 + DEC_ESCFIX, BF16_FLOW off): closure must
+        # hold.  Streams are NOT compared to the uncapped baseline here —
+        # cap_table folds wide-row tails into the escape interval, which is
+        # a different (valid) wire for synthetic random-weight content.
+        monkeypatch.setenv("RGBDC_BF16_FLOW", "0")
+        monkeypatch.setenv("RGBDC_DENSE128", "1")
+        monkeypatch.setenv("RGBDC_DEC_ESCFIX", "1")
+        benchset = UnitedCodec(model, v)
+        out_s = benchset.compress_lanes(rgb, depth)
+        dec_s = benchset.decompress_lanes(
+            out_s["r_streams"], out_s["d_streams"], out_s["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_s["y_hat"]["r"]), np.asarray(out_s["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_s["y_hat"]["d"]), np.asarray(out_s["y_hat"]["d"])
+        )
