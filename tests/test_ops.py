@@ -99,3 +99,49 @@ class TestGDN:
         y = mod.apply(params, x)
         expected = np.asarray(x) * np.sqrt(1.0 + 0.1 * np.asarray(x) ** 2)
         np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-5, atol=2e-6)
+
+
+class TestSubpixelDeconv:
+    """RGBDC_SUBPIX lowering of the k5/s2 transposed conv (nn/layers.py
+    ConvTranspose): same params, same auto-name counter, same linear map
+    up to fp summation order.  Measured slightly SLOWER than XLA's own
+    transposed-conv lowering on the axon TPU (docs/PERF.md) — kept as a
+    pinned, default-off alternative lowering."""
+
+    def test_matches_conv_transpose(self, monkeypatch, rng):
+        from rgbdc_tpu.nn import layers
+
+        x = jnp.asarray(rng.normal(size=(2, 6, 9, 7)), dtype=jnp.float32)
+        monkeypatch.delenv("RGBDC_SUBPIX", raising=False)
+        ref = layers.deconv(5)
+        vref = ref.init(jax.random.PRNGKey(1), x)
+        monkeypatch.setenv("RGBDC_SUBPIX", "1")
+        new = layers.deconv(5)
+        assert jax.tree_util.tree_structure(
+            new.init(jax.random.PRNGKey(1), x)
+        ) == jax.tree_util.tree_structure(vref)
+        y_ref = ref.apply(vref, x)
+        y_new = new.apply(vref, x)  # identical params drive both lowerings
+        assert y_new.shape == y_ref.shape == (2, 12, 18, 5)
+        np.testing.assert_allclose(
+            np.asarray(y_new), np.asarray(y_ref), atol=2e-5, rtol=0
+        )
+
+    def test_mixed_parent_param_paths(self, monkeypatch):
+        """HyperSynthesisEX mixes k5/s2 (subpixel-eligible) and k3/s1
+        deconvs: the auto-name counter must stay shared so checkpoints
+        load under either knob value."""
+        from rgbdc_tpu.nn.synthesis import HyperSynthesisEX
+
+        m = HyperSynthesisEX(N=8, M=12)
+        x = jnp.zeros((1, 4, 4, 8))
+        monkeypatch.delenv("RGBDC_SUBPIX", raising=False)
+        v0 = m.init(jax.random.PRNGKey(0), x)
+        y0 = m.apply(v0, x)
+        monkeypatch.setenv("RGBDC_SUBPIX", "1")
+        v1 = m.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.map(lambda a: a.shape, v0) == jax.tree.map(
+            lambda a: a.shape, v1
+        )
+        y1 = m.apply(v0, x)  # same params through the subpixel lowering
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=3e-6)
