@@ -32,7 +32,9 @@ codec = UnitedCodec(model, variables)
 
 
 def sync1(x):
-    _ = np.asarray(x.ravel()[0])
+    # accept any pytree: fetch one element of the first array leaf
+    leaf = next(a for a in jax.tree.leaves(x) if hasattr(a, "ravel"))
+    _ = np.asarray(leaf.ravel()[0])
 
 
 def t(label, fn, n=4):
@@ -80,16 +82,15 @@ t("  enc scans+sideband both mods (synced)", lambda: (
 st = t("  stack+upload (synced)", lambda: (
     lambda a: (sync1(a[0][0]), a)[1]
 )((codec._stack_streams(out["r_streams"]), codec._stack_streams(out["d_streams"]))))
-(r_state, r_words, r_byp), (d_state, d_words, d_byp) = st
-pos0 = jnp.zeros((batch, codec.LANES), jnp.int32)
+(r_st3, r_words, r_byp), (d_st3, d_words, d_byp) = st
 zh, zw_ = int(rz.shape[1]), int(rz.shape[2])
 rz0 = jnp.zeros((batch, zh, zw_, model.N), jnp.int32)
 y0 = jnp.zeros((batch, zh * 4, zw_ * 4, model.M), jnp.float32)
 dfl = t("  fused flow dec (synced)", lambda: (
     lambda r: (sync1(r[4][-1]), r)[1]
 )(codec._fused_flow(v, y0, y0, rz0, rz0,
-                    (r_state, pos0, pos0), r_words, r_byp,
-                    (d_state, pos0, pos0), d_words, d_byp, jnp.asarray(True))))
+                    r_st3, r_words, r_byp,
+                    d_st3, d_words, d_byp, jnp.asarray(True))))
 r_yh = jnp.concatenate(dfl[4], axis=-1)
 d_yh = jnp.concatenate(dfl[5], axis=-1)
 t("  synth (bf16, synced)", lambda: (
