@@ -833,6 +833,31 @@ def _compact_words(words_o, emit_o, b, lanes, wcap):
     return wpos, words
 
 
+def _compact_words_gather(words_o, emit_o, b, lanes, wcap):
+    """Sort-free _compact_words.  The scatter targets are MONOTONE per lane
+    (an exclusive cumsum of the emit bitmap), so the compaction is a stream
+    compaction and can run as a GATHER instead: output slot j of a lane
+    reads the row holding its (j+1)-th emitted word,
+    r_j = #{rows r : c_r <= j} with c the inclusive emit cumsum.  XLA
+    lowers the arbitrary-index scatter via a full 6.8M-element sort
+    (~45 ms at bench shapes, tools/prof_enc_trace.py); the broadcast
+    compare-count reduce fuses on the VPU and the take_along_axis is one
+    aligned per-element gather.  Bit-identical to _compact_words (zeros
+    beyond each lane's count, overflow words dropped)."""
+    et = emit_o.transpose(1, 2, 0)  # [b, lanes, rows]
+    ct = jnp.cumsum(et.astype(jnp.int32), axis=-1)
+    wpos = ct[..., -1]
+    j = jnp.arange(wcap, dtype=jnp.int32)
+    r_j = jnp.sum(
+        (ct[:, :, None, :] <= j[:, None]).astype(jnp.int32), axis=-1
+    )  # [b, lanes, wcap]
+    wt = words_o.astype(jnp.uint16).transpose(1, 2, 0)  # [b, lanes, rows]
+    rows = wt.shape[-1]
+    out = jnp.take_along_axis(wt, jnp.minimum(r_j, rows - 1), axis=-1)
+    out = jnp.where(j < wpos[..., None], out, jnp.uint16(0))
+    return wpos, out
+
+
 def encode_groups(
     sym: jnp.ndarray,
     indexes: jnp.ndarray,
@@ -845,6 +870,7 @@ def encode_groups(
     scan_out: bool = False,
     pallas: bool = False,
     small_z=None,
+    gather_compact: bool = False,
 ):
     """Encode [B, T] int16 symbols / uint8 indexes into per-lane rans32
     word streams on device.
@@ -927,7 +953,8 @@ def encode_groups(
             )
             wo_all.append(words_o)
             eo_all.append(emit_o)
-        wpos, words = _compact_words(
+        compact = _compact_words_gather if gather_compact else _compact_words
+        wpos, words = compact(
             jnp.concatenate(wo_all, axis=0), jnp.concatenate(eo_all, axis=0),
             b, lanes, wcap,
         )
@@ -982,7 +1009,8 @@ def encode_groups(
             )
             wo_all.append(words_o.reshape(nsteps * k, b, lanes))
             eo_all.append(emit_o.reshape(nsteps * k, b, lanes))
-        wpos, words = _compact_words(
+        compact = _compact_words_gather if gather_compact else _compact_words
+        wpos, words = compact(
             jnp.concatenate(wo_all, axis=0), jnp.concatenate(eo_all, axis=0),
             b, lanes, wcap,
         )

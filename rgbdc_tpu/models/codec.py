@@ -1118,6 +1118,21 @@ class UnitedCodec:
         self._enc_scanout = os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1"
         self._enc_unroll = int(os.environ.get("RGBDC_ENC_UNROLL", "4"))
         self._enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
+        # sort-free compaction of the encode outputs ("1" = both, or
+        # "words" / "esc" to isolate): XLA lowers the arbitrary-index
+        # scatters (word-stream compaction, escape-sideband compaction)
+        # via multi-ms full sorts; the monotone-position gather versions
+        # are bit-identical (tools/prof_enc_trace.py, docs/PERF.md)
+        gc = os.environ.get("RGBDC_ENC_GCOMPACT", "0")
+        if gc not in ("0", "1", "words", "esc"):
+            raise ValueError(f"RGBDC_ENC_GCOMPACT={gc}")
+        self._gc_words = gc in ("1", "words")
+        self._gc_esc = gc in ("1", "esc")
+        if self._gc_words and not (self._enc_scanout or self._enc_pallas):
+            raise ValueError(
+                "RGBDC_ENC_GCOMPACT words mode needs RGBDC_ENC_SCANOUT=1 "
+                "(the classic path compacts inside the scan)"
+            )
         if self._enc_pallas and not self._dense:
             raise ValueError("RGBDC_ENC_PALLAS=1 requires RGBDC_DENSE128=1")
         self._pull_auto = True
@@ -1464,18 +1479,45 @@ class UnitedCodec:
             sym = jnp.concatenate([z16, y_sym], axis=1)
             idx = jnp.concatenate([zi, y_idx], axis=1)
             t = sym.shape[1]
-            # compacted sideband: exclusive-prefix positions -> 2 scatters
-            pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(jnp.int32)
-            tgt = jnp.where(esc, pos, cap)
-            bi = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, t))
-            gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
             pack = (idx << 16) | (sym.astype(jnp.int32) & 0xFFFF)
-            esc_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
-                gpos, mode="drop"
-            )
-            esc_pack = jnp.zeros((b, cap), jnp.int32).at[bi, tgt].set(
-                pack, mode="drop"
-            )
+            if self._gc_esc:
+                # sort-free sideband compaction: escape positions are
+                # MONOTONE, so slot k is a binary search for the (k+1)-th
+                # set bit in the inclusive escape cumsum (19 aligned
+                # take_along_axis rounds beat XLA's sort-lowered scatter)
+                c = jnp.cumsum(esc.astype(jnp.int32), axis=1)  # [b, t]
+                kq = jnp.arange(cap, dtype=jnp.int32)
+                lo = jnp.zeros((b, cap), jnp.int32)
+                hi = jnp.full((b, cap), t, jnp.int32)
+                for _ in range(int(np.ceil(np.log2(t + 1)))):
+                    mid = (lo + hi) >> 1
+                    v = jnp.take_along_axis(c, jnp.minimum(mid, t - 1), axis=1)
+                    upd = lo < hi
+                    gt = v > kq  # c[mid] > k -> answer <= mid
+                    hi = jnp.where(upd & gt, mid, hi)
+                    lo = jnp.where(upd & ~gt, mid + 1, lo)
+                valid = kq < esc_cnt[:, None]
+                r_k = jnp.minimum(lo, t - 1)
+                esc_pos = jnp.where(valid, lo, -1)
+                esc_pack = jnp.where(
+                    valid, jnp.take_along_axis(pack, r_k, axis=1), 0
+                )
+            else:
+                # exclusive-prefix positions -> 2 scatters
+                pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(
+                    jnp.int32
+                )
+                tgt = jnp.where(esc, pos, cap)
+                bi = jnp.broadcast_to(
+                    jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)
+                )
+                gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+                esc_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
+                    gpos, mode="drop"
+                )
+                esc_pack = jnp.zeros((b, cap), jnp.int32).at[bi, tgt].set(
+                    pack, mode="drop"
+                )
 
             states, wcounts, words = _rt.encode_groups(
                 sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
@@ -1483,6 +1525,7 @@ class UnitedCodec:
                 unroll=self._enc_unroll,
                 scan_out=self._enc_scanout,
                 pallas=self._enc_pallas,
+                gather_compact=self._gc_words,
             )
             return states, wcounts, words, esc_cnt, esc_pos, esc_pack
 

@@ -315,6 +315,45 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["r"]), np.asarray(out_o["y_hat"]["r"])
         )
 
+    def test_gcompact_streams_byte_identical(self, monkeypatch):
+        """RGBDC_ENC_GCOMPACT=1 (sort-free gather compaction of the word
+        streams AND the escape sideband) must produce byte-identical
+        streams to the scatter versions, and roundtrip."""
+        monkeypatch.setenv("RGBDC_DEVICE_ENCODE", "1")
+        monkeypatch.setenv("RGBDC_ENC_SCANOUT", "1")
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(23)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+
+        scatter = UnitedCodec(model, v)
+        scatter.ESC_CAP = 1 << 16  # keep the compacted-sideband path
+        out_s = scatter.compress_lanes(rgb, depth)
+        assert scatter.last_esc_path == "sideband"
+        monkeypatch.setenv("RGBDC_ENC_GCOMPACT", "1")
+        gc = UnitedCodec(model, v)
+        gc.ESC_CAP = 1 << 16
+        out_g = gc.compress_lanes(rgb, depth)
+        assert gc.last_esc_path == "sideband"
+        assert out_g["r_streams"] == out_s["r_streams"]
+        assert out_g["d_streams"] == out_s["d_streams"]
+        dec = gc.decompress_lanes(
+            out_g["r_streams"], out_g["d_streams"], out_g["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out_g["y_hat"]["r"])
+        )
+
     def test_escape_sideband_and_full_fallback(self, monkeypatch):
         """The two escape host-assembly paths (compacted sideband vs full
         wire-tensor pull) must produce byte-identical streams: the sideband

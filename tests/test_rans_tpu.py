@@ -676,3 +676,43 @@ class TestSmallRowFastPath:
                 np.testing.assert_array_equal(
                     w0[b, l, : wc[b, l]], w1[b, l, : wc[b, l]]
                 )
+
+    @pytest.mark.parametrize("wcap", [512, 7])
+    def test_gather_compact_bit_identical(self, wcap):
+        """_compact_words_gather (sort-free: compare-count + one gather)
+        must reproduce the scatter compaction EXACTLY — full arrays, incl.
+        the zero fill beyond each lane's count and dropped overflow words
+        (wcap=7 forces overflow on busy lanes)."""
+        rng = np.random.default_rng(37)
+        lanes = 32
+        n = 3000
+        small = rt.build_small_tables(TABLE)
+        idx = np.where(
+            rng.random((2, n)) < 0.85,
+            rng.integers(0, 8, (2, n)),
+            rng.integers(0, len(TABLE.cdf_length), (2, n)),
+        ).astype(np.uint8)
+        off = TABLE.offset[idx.astype(np.int64)]
+        maxv = TABLE.cdf_length[idx.astype(np.int64)] - 2
+        sym = (off + rng.integers(0, 10000, (2, n)) % np.maximum(maxv, 1)).astype(
+            np.int16
+        )
+        esc = rng.random((2, n)) < 0.03
+        sym[esc] = rng.integers(-3000, 3000, int(esc.sum())).astype(np.int16)
+        group_lens = [1000, 500, 1500]
+
+        enc_lut = jnp.asarray(rt.build_enc_lut(TABLE))
+        outs = []
+        for gather in (False, True):
+            outs.append(
+                rt.encode_groups(
+                    jnp.asarray(sym), jnp.asarray(idx), enc_lut,
+                    lanes=lanes, group_lens=group_lens, wcap=wcap,
+                    small=small, unroll=4, scan_out=True,
+                    gather_compact=gather,
+                )
+            )
+        (st0, wc0, w0), (st1, wc1, w1) = outs
+        np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+        np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))

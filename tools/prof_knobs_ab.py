@@ -33,10 +33,16 @@ ENVS = {
     "dense": ["RGBDC_DENSE128"],
     "stack": ["RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_DEC_PALLAS",
               "RGBDC_ENC_PALLAS"],
+    "gcompact": ["RGBDC_ENC_GCOMPACT"],
 }[KNOB]
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
+if KNOB == "gcompact":
+    # measure on top of the current serving defaults (bench.py)
+    for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
+              "RGBDC_FLAT_UPLOAD"):
+        os.environ.setdefault(e, "1")
 REPS = int(os.environ.get("REPS", "4"))
 
 import jax, jax.numpy as jnp, numpy as np
@@ -92,7 +98,7 @@ for name, c in (("off", codec_a), ("on", codec_b)):
     outs[name] = out
     print(f"warm {ENV}={name}: {time.time()-t0:.1f} s (closure ok)", flush=True)
 
-if KNOB in ("scanout", "flat", "escfix"):
+if KNOB in ("scanout", "flat", "escfix", "gcompact"):
     assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
     assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
     print("streams byte-identical across the knob", flush=True)
