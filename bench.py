@@ -74,6 +74,21 @@ if not os.path.exists(CALIB_CKPT):
     # realistic escape rates.
     os.environ.setdefault("RGBDC_SCALE_BOUND", "16")
     CALIB_CKPT = None
+else:
+    # Trained-statistics serving defaults (checkpoint-gated: untrained /
+    # floored streams can exceed the tight word cap, which fails loudly):
+    #   WMAX=128     trained q2 streams use ~7-64 u16/lane at 512 lanes;
+    #                the tight static cap shrinks every word buffer AND is
+    #                what makes the gather compaction cheap (its
+    #                compare-count scales with WMAX)
+    #   ENC_GCOMPACT sort-free compaction of the encode word streams and
+    #                escape sideband: XLA lowers the scatter versions via
+    #                full sorts (~45 ms/modality at bench shapes); the
+    #                monotone-position gather versions are byte-identical
+    #                (A/B at WMAX=128: comp 508->343 ms, e2e serial
+    #                949->774 ms; docs/PERF.md round 3 continued)
+    os.environ.setdefault("RGBDC_WMAX", "128")
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
 
 import jax
 import jax.numpy as jnp
