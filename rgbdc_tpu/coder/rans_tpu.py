@@ -535,6 +535,7 @@ def decode_group(
     small=None,
     escfix=None,
     pallas: bool = False,
+    unroll: int = 1,
 ):
     """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
 
@@ -597,15 +598,57 @@ def decode_group(
         syms = syms.transpose(inv).reshape(lead + (steps * lanes,))[..., :n]
         return carry, syms
 
-    def step(c, xs):
-        idx_row, act, hb = xs
-        return _decode_row(
-            c, words, byp, idx_row, act, tbl, small=small,
-            has_big=(hb if small is not None else None),
-            escfix=escfix is not None,
-        )
+    k = max(int(unroll), 1)
+    if k > 1:
+        # process k consecutive rows per scan step (mirrors the encoder's
+        # unroll): same row order and carry math, so bit-exact by
+        # construction; pad with inactive rows AT THE END (forward scan —
+        # act=False rows are no-ops and their ys are stripped below)
+        rpad = (-steps) % k
+        if rpad:
+            idx_rows = jnp.concatenate(
+                [idx_rows, jnp.zeros((rpad,) + idx_rows.shape[1:], idx_rows.dtype)]
+            )
+            act_rows = jnp.concatenate(
+                [act_rows, jnp.zeros((rpad,) + act_rows.shape[1:], bool)]
+            )
+            hb_rows = jnp.concatenate([hb_rows, jnp.zeros((rpad,), bool)])
+        nsteps = (steps + rpad) // k
+        idx_k = idx_rows.reshape((nsteps, k) + idx_rows.shape[1:])
+        act_k = act_rows.reshape((nsteps, k) + act_rows.shape[1:])
+        hb_k = hb_rows.reshape(nsteps, k)
 
-    carry, ys = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))
+        def stepk(c, xs):
+            i_k, a_k, h_k = xs
+            ys = []
+            for j in range(k):
+                c, y = _decode_row(
+                    c, words, byp, i_k[j], a_k[j], tbl, small=small,
+                    has_big=(h_k[j] if small is not None else None),
+                    escfix=escfix is not None,
+                )
+                ys.append(y)
+            if escfix is not None:
+                return c, (jnp.stack([y[0] for y in ys]),
+                           jnp.stack([y[1] for y in ys]))
+            return c, jnp.stack(ys)
+
+        carry, ys = jax.lax.scan(stepk, carry, (idx_k, act_k, hb_k))
+        unflat = lambda a: a.reshape((nsteps * k,) + a.shape[2:])[:steps]
+        ys = (
+            (unflat(ys[0]), unflat(ys[1])) if escfix is not None else unflat(ys)
+        )
+        idx_rows = idx_rows[:steps]
+    else:
+        def step(c, xs):
+            idx_row, act, hb = xs
+            return _decode_row(
+                c, words, byp, idx_row, act, tbl, small=small,
+                has_big=(hb if small is not None else None),
+                escfix=escfix is not None,
+            )
+
+        carry, ys = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))
     if escfix is not None:
         syms, esc_rows = ys
         off_arr, maxv_arr = escfix

@@ -1117,6 +1117,9 @@ class UnitedCodec:
         # harness has restored the env — tools/prof_knobs_ab.py)
         self._enc_scanout = os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1"
         self._enc_unroll = int(os.environ.get("RGBDC_ENC_UNROLL", "4"))
+        # decode-scan row unroll (k rows per scan step; bit-exact by
+        # construction — same row order/carry math, pads stripped)
+        self._dec_unroll = int(os.environ.get("RGBDC_DEC_UNROLL", "1"))
         self._enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
         # sort-free compaction of the encode outputs ("1" = both, or
         # "words" / "esc" to isolate): XLA lowers the arbitrary-index
@@ -1228,6 +1231,7 @@ class UnitedCodec:
             carry, flat = _rt.decode_group(
                 carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut,
                 lanes, small=small, escfix=escfix, pallas=dec_pallas,
+                unroll=self._dec_unroll,
             )
             return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
@@ -1249,7 +1253,7 @@ class UnitedCodec:
                 # and VMEM footprint for no meaningful win
                 carry, flat = _rt.decode_group(
                     carry, words, byp, zidx, lut, lanes, escfix=escfix,
-                    small=small,
+                    small=small, unroll=self._dec_unroll,
                 )
                 return tuple(carry), flat.reshape(b, zh, zw, n)
 

@@ -268,6 +268,36 @@ class TestDenseCappedTables:
         got = np.concatenate(got).astype(np.int16)
         assert np.array_equal(got, sym)
 
+    @pytest.mark.parametrize("escfix", [False, True])
+    @pytest.mark.parametrize("unroll", [3, 4])
+    def test_decode_unroll_bit_exact(self, unroll, escfix):
+        """decode_group with row unroll (k rows per scan step) must match
+        unroll=1 exactly — ragged group lengths force end-padding rows,
+        escapes exercise both the in-scan loop and the fixup post-pass."""
+        rng = np.random.default_rng(47)
+        capped = rt.cap_table(TABLE, self.CAP)
+        group_lens = [800, 1, 777]
+        lanes = 32
+        sym, idx = self._stream(rng, sum(group_lens))
+        data = lanes_encode(sym, idx, group_lens, capped, lanes=lanes)
+        states, words, byp = lanes_split(data, lanes)
+        small = rt.build_small_tables(capped, k_cap=self.CAP, r_max=1 << 30)
+        dummy = jnp.zeros((1, 2), jnp.uint32)
+        fix = rt.escape_fixup_tables(capped) if escfix else None
+        for u in (1, unroll):
+            carry = rt.init_lane_state(jnp.asarray(states))
+            got, base = [], 0
+            for gl in group_lens:
+                carry, s = rt.decode_group(
+                    carry, jnp.asarray(words), jnp.asarray(byp),
+                    jnp.asarray(idx[base : base + gl]), dummy, lanes=lanes,
+                    small=small, escfix=fix, unroll=u,
+                )
+                got.append(np.asarray(s))
+                base += gl
+            got = np.concatenate(got).astype(np.int16)
+            assert np.array_equal(got, sym), f"unroll={u} diverged"
+
     def test_dense_device_encode_byte_identical(self):
         """Device dense encode (dummy enc LUT) must emit the same container
         bytes as the C encoder over the capped table."""

@@ -34,15 +34,23 @@ ENVS = {
     "stack": ["RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_DEC_PALLAS",
               "RGBDC_ENC_PALLAS"],
     "gcompact": ["RGBDC_ENC_GCOMPACT"],
+    "decunroll": ["RGBDC_DEC_UNROLL"],
 }[KNOB]
+# value-knobs: (off, on) env values when not the default "0"/"1"
+VALS = {"decunroll": ("1", os.environ.get("PROF_UNROLL", "4"))}.get(
+    KNOB, ("0", "1")
+)
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
-if KNOB == "gcompact":
+if KNOB in ("gcompact", "decunroll"):
     # measure on top of the current serving defaults (bench.py)
     for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
               "RGBDC_FLAT_UPLOAD"):
         os.environ.setdefault(e, "1")
+if KNOB == "decunroll":
+    os.environ.setdefault("RGBDC_WMAX", "128")
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
 REPS = int(os.environ.get("REPS", "4"))
 
 import jax, jax.numpy as jnp, numpy as np
@@ -68,7 +76,7 @@ variables = {"params": load_calib_params_device(ck, variables["params"])}
 
 def build(on: bool):
     for e in ENVS:
-        os.environ[e] = "1" if on else "0"
+        os.environ[e] = VALS[1] if on else VALS[0]
     c = UnitedCodec(model, variables)
     # snapshot the knobs NOW (the fused programs trace lazily, after this
     # function has restored the env for the other side)
@@ -82,7 +90,7 @@ def sync1(x):
 
 codec_a, codec_b = build(False), build(True)
 for e in ENVS:
-    os.environ[e] = "0"
+    os.environ[e] = VALS[0]
 
 # warm both (compiles + pull tuners + speculative-pull state)
 outs = {}
@@ -98,7 +106,7 @@ for name, c in (("off", codec_a), ("on", codec_b)):
     outs[name] = out
     print(f"warm {ENV}={name}: {time.time()-t0:.1f} s (closure ok)", flush=True)
 
-if KNOB in ("scanout", "flat", "escfix", "gcompact"):
+if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll"):
     assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
     assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
     print("streams byte-identical across the knob", flush=True)
