@@ -87,8 +87,15 @@ else:
     #                monotone-position gather versions are byte-identical
     #                (A/B at WMAX=128: comp 508->343 ms, e2e serial
     #                949->774 ms; docs/PERF.md round 3 continued)
+    #   DEC_WFETCH   one-hot renorm word fetch in the decode scans: the
+    #                per-element take_along_axis gather was ~90% of decode
+    #                scan device time; the compare-select-reduce over the
+    #                WMAX columns runs at VPU rate (A/B at WMAX=128: dec
+    #                410->289 ms, e2e serial 751->630; docs/PERF.md).
+    #                Only sensible with the tight cap, hence gated here.
     os.environ.setdefault("RGBDC_WMAX", "128")
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+    os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 
 import jax
 import jax.numpy as jnp

@@ -220,7 +220,7 @@ def init_lane_state(states: jnp.ndarray) -> LaneState:
     )
 
 
-def _fetch_word(words, pos):
+def _fetch_word(words, pos, onehot: bool = False):
     if words.ndim == pos.ndim:
         # flat layout [..., Wtotal]: pos carries each lane's base offset
         # (init_lane_state was seeded with the per-lane word bases)
@@ -228,15 +228,26 @@ def _fetch_word(words, pos):
             words, jnp.clip(pos, 0, words.shape[-1] - 1), axis=-1
         )
         return w.astype(jnp.uint32)
-    w = jnp.take_along_axis(
-        words, jnp.clip(pos, 0, words.shape[-1] - 1)[..., None], axis=-1
-    )[..., 0]
+    posc = jnp.clip(pos, 0, words.shape[-1] - 1)
+    if onehot:
+        # Compare-select-reduce over the (static, small) W columns instead
+        # of a gather: TPU gathers cost ~11 ns per ELEMENT (descriptor-
+        # bound) and this fetch was ~90% of decode-scan device time at
+        # bench shapes (~88 us/row for 8192 lanes; tools/
+        # prof_decflow_trace.py).  The one-hot reduce runs at VPU vector
+        # rate and streams the whole [.., lanes, W] words panel per row
+        # (2 MB at WMAX=128 ~ 3 us of HBM traffic).  Only sensible with a
+        # tight word cap — serve with RGBDC_WMAX=128.
+        cols = jnp.arange(words.shape[-1], dtype=posc.dtype)
+        hit = cols == posc[..., None]
+        return jnp.max(jnp.where(hit, words, 0), axis=-1).astype(jnp.uint32)
+    w = jnp.take_along_axis(words, posc[..., None], axis=-1)[..., 0]
     return w.astype(jnp.uint32)
 
 
-def _renorm(state, pos, words, mask):
+def _renorm(state, pos, words, mask, onehot: bool = False):
     need = mask & (state < RANS32_L)
-    w = _fetch_word(words, pos)
+    w = _fetch_word(words, pos, onehot)
     state = jnp.where(need, (state << 16) | w, state)
     pos = pos + need.astype(jnp.int32)
     return state, pos
@@ -288,7 +299,7 @@ def _sext(x, bits):
 
 
 def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
-                has_big=None, escfix=False):
+                has_big=None, escfix=False, wfetch1h=False):
     """Decode one lockstep row: every active lane pops one symbol.
 
     tbl is either a DeviceCdfTable (binary-search mode) or a packed
@@ -409,7 +420,7 @@ def _decode_row(carry: LaneState, words, byp, idx_row, act, tbl, small=None,
         offset = jnp.take(tbl.offset, idx_row)
 
     adv = (state >> 16) * freq + cum.astype(jnp.uint32) - start.astype(jnp.uint32)
-    adv, npos = _renorm(adv, pos, words, act)
+    adv, npos = _renorm(adv, pos, words, act, wfetch1h)
     state = jnp.where(act, adv, state)
     pos = jnp.where(act, npos, pos)
 
@@ -536,6 +547,7 @@ def decode_group(
     escfix=None,
     pallas: bool = False,
     unroll: int = 1,
+    wfetch1h: bool = False,
 ):
     """Decode one coding group of indexes [..., n] -> symbols [..., n] i32.
 
@@ -625,7 +637,7 @@ def decode_group(
                 c, y = _decode_row(
                     c, words, byp, i_k[j], a_k[j], tbl, small=small,
                     has_big=(h_k[j] if small is not None else None),
-                    escfix=escfix is not None,
+                    escfix=escfix is not None, wfetch1h=wfetch1h,
                 )
                 ys.append(y)
             if escfix is not None:
@@ -645,7 +657,7 @@ def decode_group(
             return _decode_row(
                 c, words, byp, idx_row, act, tbl, small=small,
                 has_big=(hb if small is not None else None),
-                escfix=escfix is not None,
+                escfix=escfix is not None, wfetch1h=wfetch1h,
             )
 
         carry, ys = jax.lax.scan(step, carry, (idx_rows, act_rows, hb_rows))

@@ -1193,6 +1193,21 @@ class UnitedCodec:
                 "(unset RGBDC_FLAT_UPLOAD)"
             )
 
+        # one-hot renorm word fetch (RGBDC_DEC_WFETCH=onehot, serving
+        # opt-in): the in-scan take_along_axis gather costs ~11 ns per
+        # ELEMENT on this TPU and was ~90% of decode-scan device time at
+        # bench shapes (tools/prof_decflow_trace.py); a compare-select-
+        # reduce over the (static) word columns runs at VPU vector rate.
+        # Needs the fixed-stride [b, lanes, WMAX] word layout — under
+        # RGBDC_FLAT_UPLOAD the flat payload still crosses the link as
+        # exact bytes and ONE device-side gather unflattens it per batch
+        # (_stack_streams_flat); per-lane word counts must then fit WMAX.
+        # Only sensible with a tight cap: serve with RGBDC_WMAX=128.
+        wfetch = os.environ.get("RGBDC_DEC_WFETCH", "gather")
+        if wfetch not in ("gather", "onehot"):
+            raise ValueError(f"RGBDC_DEC_WFETCH={wfetch}")
+        self._wfetch1h = wfetch == "onehot"
+
         # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
         # the fused stage programs' context/aggregation convs run in bf16.
         # The enc/dec bit-exact closure is untouched BY CONSTRUCTION —
@@ -1231,7 +1246,7 @@ class UnitedCodec:
             carry, flat = _rt.decode_group(
                 carry, words, byp, idx.astype(jnp.int32).reshape(b, -1), lut,
                 lanes, small=small, escfix=escfix, pallas=dec_pallas,
-                unroll=self._dec_unroll,
+                unroll=self._dec_unroll, wfetch1h=self._wfetch1h,
             )
             return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
 
@@ -1254,6 +1269,7 @@ class UnitedCodec:
                 carry, flat = _rt.decode_group(
                     carry, words, byp, zidx, lut, lanes, escfix=escfix,
                     small=small, unroll=self._dec_unroll,
+                    wfetch1h=self._wfetch1h,
                 )
                 return tuple(carry), flat.reshape(b, zh, zw, n)
 
@@ -1365,7 +1381,12 @@ class UnitedCodec:
         zs = jnp.zeros((b, self.LANES), jnp.uint32)
         zp = jnp.zeros((b, self.LANES), jnp.int32)
         if self._flat_upload:
-            zw = jnp.zeros((b, self.LANES * self.WMAX), jnp.uint16)
+            # under the one-hot fetch the words arrive unflattened (see
+            # _stack_streams_flat); the nibble stream stays flat
+            if self._wfetch1h:
+                zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
+            else:
+                zw = jnp.zeros((b, self.LANES * self.WMAX), jnp.uint16)
             zb = jnp.zeros((b, self.LANES * self.BMAX), jnp.uint16)
         else:
             zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
@@ -1889,11 +1910,52 @@ class UnitedCodec:
         nib0 = self._put_batch(
             jnp.asarray(np.stack([s[4] * 4 for s in split]).astype(np.int32))
         )
-        return (
-            (states, pos0, nib0),
-            stackf(1, wcap, "RGBDC_WMAX"),
-            stackf(3, bcap, "RGBDC_BMAX"),
-        )
+        words = stackf(1, wcap, "RGBDC_WMAX")
+        byp = stackf(3, bcap, "RGBDC_BMAX")
+        if self._wfetch1h:
+            # one-hot fetch needs the fixed-stride [b, lanes, WMAX] layout:
+            # unflatten ON DEVICE with one bucketed gather (the flat
+            # payload already crossed the link as exact bytes), then the
+            # word cursor restarts at 0 per lane.  Nibbles stay flat (the
+            # escape fixup pops a handful per batch).
+            maxc = 1
+            for s in split:
+                counts = np.diff(np.append(s[2], s[1].size))
+                if counts.size:
+                    maxc = max(maxc, int(counts.max()))
+            if maxc > self.WMAX:
+                raise ValueError(
+                    f"a lane holds {maxc} words > RGBDC_WMAX={self.WMAX}; "
+                    "raise the env var (recompiles the fused programs)"
+                )
+            wb = min(-(-maxc // self.WORD_BUCKET) * self.WORD_BUCKET,
+                     self.WMAX)
+            words = self._unflatten_words(wb)(words, pos0)
+            pos0 = jnp.zeros_like(pos0)
+        return ((states, pos0, nib0), words, byp)
+
+    def _unflatten_words(self, wb: int):
+        """Cached jitted flat->[b, lanes, WMAX] word unflatten (gathers only
+        ``wb`` columns per lane — the bucketed max count — and zero-pads the
+        rest, so the gather stays ~b*lanes*wb elements)."""
+        cache = getattr(self, "_unflat_cache", None)
+        if cache is None:
+            cache = self._unflat_cache = {}
+        fn = cache.get(wb)
+        if fn is None:
+            wmax = self.WMAX
+
+            @jax.jit
+            def fn(flat, base):
+                idx = base[..., None] + jnp.arange(wb, dtype=jnp.int32)
+                idx = jnp.clip(idx, 0, flat.shape[-1] - 1)
+                w = jnp.take_along_axis(
+                    flat, idx.reshape(flat.shape[0], -1), axis=-1
+                ).reshape(base.shape + (wb,))
+                return jnp.pad(w, ((0, 0), (0, 0), (0, wmax - wb)))
+
+            cache[wb] = fn
+        return fn
 
     def decompress_lanes(self, r_streams, d_streams, shape) -> dict:
         """On-device decode: upload the bitstreams once, then run the SAME

@@ -191,6 +191,33 @@ class TestLaneCodec:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    def test_onehot_wfetch_roundtrip(self, monkeypatch):
+        """RGBDC_DEC_WFETCH=onehot replaces the in-scan renorm word gather
+        with a compare-select-reduce over the word columns (the gather is
+        ~90% of decode-scan device time on TPU, docs/PERF.md); under
+        FLAT_UPLOAD one device gather unflattens the words to the fixed
+        [b, lanes, WMAX] stride first.  Pure decode-side change: streams
+        identical, decoded latents bit-exact, in both upload layouts and
+        with the escape machinery exercised (untrained model escapes
+        freely)."""
+        ref = self.codec.compress_lanes(self.rgb, self.depth)
+        monkeypatch.setenv("RGBDC_DEC_WFETCH", "onehot")
+        for flat in ("0", "1"):
+            monkeypatch.setenv("RGBDC_FLAT_UPLOAD", flat)
+            c = _tiny_codec()
+            out = c.compress_lanes(self.rgb, self.depth)
+            assert out["r_streams"] == ref["r_streams"]
+            assert out["d_streams"] == ref["d_streams"]
+            dec = c.decompress_lanes(
+                out["r_streams"], out["d_streams"], out["shape"]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+            )
+
     def test_stream_sizes_reasonable(self):
         """Lane container overhead (compact v3 header) is 6 bytes/lane for
         escape-free streams (u32 state + u16 word count), 8 with the u16
@@ -563,4 +590,22 @@ class TestDeviceEncodePath:
         )
         np.testing.assert_array_equal(
             np.asarray(dec_s["y_hat"]["d"]), np.asarray(out_s["y_hat"]["d"])
+        )
+
+        # + the one-hot renorm word fetch on top of the bench set: a pure
+        # decode-side lowering change — streams byte-identical, closure
+        # holds
+        monkeypatch.setenv("RGBDC_DEC_WFETCH", "onehot")
+        onehot = UnitedCodec(model, v)
+        out_o = onehot.compress_lanes(rgb, depth)
+        assert out_o["r_streams"] == out_s["r_streams"]
+        assert out_o["d_streams"] == out_s["d_streams"]
+        dec_o = onehot.decompress_lanes(
+            out_o["r_streams"], out_o["d_streams"], out_o["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_o["y_hat"]["r"]), np.asarray(out_o["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_o["y_hat"]["d"]), np.asarray(out_o["y_hat"]["d"])
         )

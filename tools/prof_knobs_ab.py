@@ -35,20 +35,22 @@ ENVS = {
               "RGBDC_ENC_PALLAS"],
     "gcompact": ["RGBDC_ENC_GCOMPACT"],
     "decunroll": ["RGBDC_DEC_UNROLL"],
+    "wfetch": ["RGBDC_DEC_WFETCH"],
 }[KNOB]
 # value-knobs: (off, on) env values when not the default "0"/"1"
-VALS = {"decunroll": ("1", os.environ.get("PROF_UNROLL", "4"))}.get(
-    KNOB, ("0", "1")
-)
+VALS = {
+    "decunroll": ("1", os.environ.get("PROF_UNROLL", "4")),
+    "wfetch": ("gather", "onehot"),
+}.get(KNOB, ("0", "1"))
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
-if KNOB in ("gcompact", "decunroll"):
+if KNOB in ("gcompact", "decunroll", "wfetch"):
     # measure on top of the current serving defaults (bench.py)
     for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
               "RGBDC_FLAT_UPLOAD"):
         os.environ.setdefault(e, "1")
-if KNOB == "decunroll":
+if KNOB in ("decunroll", "wfetch"):
     os.environ.setdefault("RGBDC_WMAX", "128")
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
 REPS = int(os.environ.get("REPS", "4"))
@@ -106,7 +108,7 @@ for name, c in (("off", codec_a), ("on", codec_b)):
     outs[name] = out
     print(f"warm {ENV}={name}: {time.time()-t0:.1f} s (closure ok)", flush=True)
 
-if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll"):
+if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll", "wfetch"):
     assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
     assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
     print("streams byte-identical across the knob", flush=True)
