@@ -33,7 +33,7 @@ from ..nn import (
     conv3x3,
 )
 from .priors import JointAutoregressiveHierarchicalPriors, MaskedConv2D
-from ..nn.layers import SubpelConv3x3
+from ..nn.layers import conv1x1, SubpelConv3x3
 from ..ops.wire import _sym16
 from ..ops import (
     ckbd_anchor,
@@ -142,9 +142,9 @@ class _SharedEntropyParameters(nn.Module):
     @nn.compact
     def __call__(self, x):
         n = self.N
-        x = jax.nn.leaky_relu(nn.Conv(n * 10 // 3, (1, 1))(x), 0.01)
-        x = jax.nn.leaky_relu(nn.Conv(n * 8 // 3, (1, 1))(x), 0.01)
-        return nn.Conv(n * 2, (1, 1))(x)
+        x = jax.nn.leaky_relu(conv1x1(n * 10 // 3)(x), 0.01)
+        x = jax.nn.leaky_relu(conv1x1(n * 8 // 3)(x), 0.01)
+        return conv1x1(n * 2)(x)
 
 
 class Cheng2020AnchorCheckerboard(nn.Module):
@@ -340,9 +340,9 @@ class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
         self.context_prediction = MaskedConv2D(2 * n, 5, "A")
         self.entropy_parameters = nn.Sequential(
             [
-                nn.Conv(n * 10 // 3, (1, 1)), jax.nn.leaky_relu,
-                nn.Conv(n * 8 // 3, (1, 1)), jax.nn.leaky_relu,
-                nn.Conv(n * 2, (1, 1)),
+                conv1x1(n * 10 // 3), jax.nn.leaky_relu,
+                conv1x1(n * 8 // 3), jax.nn.leaky_relu,
+                conv1x1(n * 2),
             ]
         )
         self.entropy_bottleneck = EntropyBottleneck(channels=n)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+from ..nn.layers import conv1x1
 import jax
 
 from ..ops.math import exact_gelu
@@ -308,7 +309,7 @@ class _EPMlic(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = exact_gelu(nn.Conv(320, (1, 1))(x))
-        x = exact_gelu(nn.Conv(256, (1, 1))(x))
-        x = exact_gelu(nn.Conv(128, (1, 1))(x))
-        return nn.Conv(self.out_dim, (1, 1))(x)
+        x = exact_gelu(conv1x1(320)(x))
+        x = exact_gelu(conv1x1(256)(x))
+        x = exact_gelu(conv1x1(128)(x))
+        return conv1x1(self.out_dim)(x)

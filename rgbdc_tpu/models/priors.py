@@ -20,6 +20,7 @@ batched rANS host path as the main codecs.
 from __future__ import annotations
 
 import flax.linen as nn
+from ..nn.layers import conv1x1
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,9 +228,9 @@ class JointAutoregressiveHierarchicalPriors(nn.Module):
         self.context_prediction = MaskedConv2D(2 * self.M, 5, "A")
         self.entropy_parameters = nn.Sequential(
             [
-                nn.Conv(self.M * 10 // 3, (1, 1)), jax.nn.leaky_relu,
-                nn.Conv(self.M * 8 // 3, (1, 1)), jax.nn.leaky_relu,
-                nn.Conv(self.M * 6 // 3, (1, 1)),
+                conv1x1(self.M * 10 // 3), jax.nn.leaky_relu,
+                conv1x1(self.M * 8 // 3), jax.nn.leaky_relu,
+                conv1x1(self.M * 6 // 3),
             ]
         )
         self.entropy_bottleneck = EntropyBottleneck(channels=n)

@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import conv1x1
+
 
 class SEBlock(nn.Module):
     features: int
@@ -42,7 +44,7 @@ class ESA(nn.Module):
     def __call__(self, x):
         f = self.features // 4
         b, h, w, _ = x.shape
-        c1_ = nn.Conv(f, (1, 1))(x)
+        c1_ = conv1x1(f)(x)
         # shrink: stride-2 valid conv then 7x7/3 maxpool
         c1 = nn.Conv(f, (3, 3), strides=(2, 2), padding="VALID")(c1_)
         v = nn.max_pool(c1, (7, 7), strides=(3, 3))
@@ -50,8 +52,8 @@ class ESA(nn.Module):
         c3 = jax.nn.relu(nn.Conv(f, (3, 3), padding="SAME")(v))
         c3 = nn.Conv(f, (3, 3), padding="SAME")(c3)
         c3 = _bilinear_resize(c3, h, w)
-        cf = nn.Conv(f, (1, 1))(c1_)
-        mask = jax.nn.sigmoid(nn.Conv(self.features, (1, 1))(c3 + cf))
+        cf = conv1x1(f)(c1_)
+        mask = jax.nn.sigmoid(conv1x1(self.features)(c3 + cf))
         return x * mask
 
 

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 
 from ..ops.math import exact_gelu
+from .layers import conv1x1
 import jax.numpy as jnp
 import numpy as np
 
@@ -145,7 +146,7 @@ class _QKVConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.dim, (1, 1))(x)
+        x = conv1x1(self.dim)(x)
         return nn.Conv(
             self.dim, (3, 3), padding="SAME", feature_group_count=self.dim
         )(x)
@@ -182,15 +183,15 @@ class LinearGlobalInterContext(nn.Module):
         agg = _linear_attention(q, k, v, self.num_heads, self.dim)
         agg = agg.reshape(b, h, w, self.dim)
         attn = nn.Conv(self.out_dim * 3 // 2, (5, 5), padding="SAME")(agg)
-        mlp = nn.Conv(self.out_dim * 2, (1, 1))(attn)
+        mlp = conv1x1(self.out_dim * 2)(attn)
         mlp = exact_gelu(mlp)
         mlp = nn.Conv(
             self.out_dim * 2, (3, 3), padding="SAME",
             feature_group_count=self.out_dim * 2,
         )(mlp)
         mlp = exact_gelu(mlp)
-        mlp = nn.Conv(self.out_dim, (1, 1))(mlp)
-        skip = nn.Conv(self.out_dim, (1, 1))(attn)
+        mlp = conv1x1(self.out_dim)(mlp)
+        skip = conv1x1(self.out_dim)(attn)
         return skip + mlp
 
 
@@ -238,13 +239,13 @@ class LinearGlobalIntraContext(nn.Module):
             )
         agg = jnp.concatenate(outs, axis=-1).reshape(b, h, w, self.dim)
         attn = nn.Conv(self.dim * 2, (5, 5), padding="SAME")(agg)
-        mlp = nn.Conv(self.dim * 4, (1, 1))(attn)
+        mlp = conv1x1(self.dim * 4)(attn)
         mlp = exact_gelu(mlp)
         mlp = nn.Conv(
             self.dim * 4, (3, 3), padding="SAME", feature_group_count=self.dim * 4
         )(mlp)
         mlp = exact_gelu(mlp)
-        mlp = nn.Conv(self.dim * 2, (1, 1))(mlp)
+        mlp = conv1x1(self.dim * 2)(mlp)
         return attn + mlp
 
 

@@ -14,6 +14,7 @@ import jax
 from ..ops.math import exact_gelu
 
 from .attention import SEBlock
+from .layers import conv1x1
 
 Act = Callable[[jax.Array], jax.Array]
 
@@ -25,11 +26,11 @@ class EntropyParameters(nn.Module):
     @nn.compact
     def __call__(self, x):
         out = self.out_dim
-        x = nn.Conv(out * 5 // 3, (1, 1))(x)
+        x = conv1x1(out * 5 // 3)(x)
         x = self.act(x)
-        x = nn.Conv(out * 4 // 3, (1, 1))(x)
+        x = conv1x1(out * 4 // 3)(x)
         x = self.act(x)
-        x = nn.Conv(out, (1, 1))(x)
+        x = conv1x1(out)(x)
         return x
 
 
@@ -41,7 +42,7 @@ class EntropyParametersEX(nn.Module):
     def __call__(self, x):
         in_dim = x.shape[-1]
         x = x + SEBlock(in_dim)(x)
-        x = nn.Conv(in_dim // 6, (1, 1))(x)
+        x = conv1x1(in_dim // 6)(x)
         x = self.act(x)
         x = nn.Conv(self.out_dim * 4 // 3, (3, 3), padding="SAME")(x)
         x = self.act(x)

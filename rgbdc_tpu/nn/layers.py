@@ -33,7 +33,56 @@ def conv(features: int, kernel: int = 5, stride: int = 2) -> nn.Conv:
     )
 
 
-def conv1x1(features: int, stride: int = 1) -> nn.Conv:
+class Conv(nn.Module):
+    """Dot-general lowering of the 1x1 conv (RGBDC_DOT1X1=1, serving
+    opt-in).
+
+    NOTE the class name: flax auto-names unnamed children
+    ``f"{cls.__name__}_{i}"`` with the counter keyed by that NAME string,
+    so this class must be called ``Conv`` to produce the same param paths
+    ("Conv_0", ...) as ``nn.Conv`` in parents that mix both lowerings.
+    Parameter-compatible with ``nn.Conv(features, (1, 1))`` — same
+    ``kernel`` [1, 1, in, out] / ``bias`` params — so checkpoints load
+    unchanged in either mode.
+
+    Why: XLA's in-program layout assignment runs the attention/RB 1x1
+    convs ~5x off the HBM bandwidth floor at serving shapes (the
+    [16,256,320,192] 1x1 measured 7.1 ms inside the synthesis program vs
+    1.3 ms isolated and 0.6 ms as a channel-contracting dot_general —
+    docs/PERF.md round 3).  A dot constrains the layout to row-major with
+    channels on the lanes, which is what the MXU wants here.  Same linear
+    map up to fp summation order.
+    """
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kern = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, in_ch, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.stride != 1:
+            x = x[:, :: self.stride, :: self.stride, :]
+        dt = jnp.promote_types(x.dtype, kern.dtype)
+        y = jax.lax.dot_general(
+            x.astype(dt),
+            kern[0, 0].astype(dt),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=dt,
+        )
+        return y + bias.astype(dt)
+
+
+def conv1x1(features: int, stride: int = 1) -> nn.Module:
+    """1x1 conv; with RGBDC_DOT1X1=1 lowered as a channel dot (see
+    :class:`Conv` — param-path and checkpoint compatible either way)."""
+    import os
+
+    if os.environ.get("RGBDC_DOT1X1", "0") == "1":
+        return Conv(features, stride)
     return nn.Conv(features, (1, 1), strides=(stride, stride))
 
 

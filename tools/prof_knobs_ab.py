@@ -36,23 +36,31 @@ ENVS = {
     "gcompact": ["RGBDC_ENC_GCOMPACT"],
     "decunroll": ["RGBDC_DEC_UNROLL"],
     "wfetch": ["RGBDC_DEC_WFETCH"],
+    "dot1x1": ["RGBDC_DOT1X1"],
+    "wmax64": ["RGBDC_WMAX"],
 }[KNOB]
 # value-knobs: (off, on) env values when not the default "0"/"1"
 VALS = {
     "decunroll": ("1", os.environ.get("PROF_UNROLL", "4")),
     "wfetch": ("gather", "onehot"),
+    "wmax64": ("128", "64"),
 }.get(KNOB, ("0", "1"))
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
-if KNOB in ("gcompact", "decunroll", "wfetch"):
+if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64"):
     # measure on top of the current serving defaults (bench.py)
     for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
               "RGBDC_FLAT_UPLOAD"):
         os.environ.setdefault(e, "1")
-if KNOB in ("decunroll", "wfetch"):
+if KNOB in ("decunroll", "wfetch", "dot1x1"):
     os.environ.setdefault("RGBDC_WMAX", "128")
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+if KNOB == "wmax64":
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+    os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
+if KNOB == "dot1x1":
+    os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 REPS = int(os.environ.get("REPS", "4"))
 
 import jax, jax.numpy as jnp, numpy as np
@@ -76,27 +84,22 @@ ck = os.path.join(os.path.dirname(__file__), "..", "calib",
 variables = {"params": load_calib_params_device(ck, variables["params"])}
 
 
-def build(on: bool):
-    for e in ENVS:
-        os.environ[e] = VALS[1] if on else VALS[0]
-    c = UnitedCodec(model, variables)
-    # snapshot the knobs NOW (the fused programs trace lazily, after this
-    # function has restored the env for the other side)
-    c._lane_setup()
-    return c
-
-
 def sync1(x):
     _ = np.asarray(x.ravel()[0])
 
 
-codec_a, codec_b = build(False), build(True)
-for e in ENVS:
-    os.environ[e] = VALS[0]
-
-# warm both (compiles + pull tuners + speculative-pull state)
 outs = {}
-for name, c in (("off", codec_a), ("on", codec_b)):
+
+
+def build(on: bool):
+    """Build AND warm with the knob env set: trace-time knobs (dot1x1 —
+    read inside the flax modules) bake in at first trace, not at
+    _lane_setup, so the warmup must run before the env is restored."""
+    name = "on" if on else "off"
+    for e in ENVS:
+        os.environ[e] = VALS[1] if on else VALS[0]
+    c = UnitedCodec(model, variables)
+    c._lane_setup()
     t0 = time.time()
     out = c.compress_lanes(rgb, depth)
     out = c.compress_lanes(rgb, depth)  # second: speculative/steady paths
@@ -107,8 +110,14 @@ for name, c in (("off", codec_a), ("on", codec_b)):
     )
     outs[name] = out
     print(f"warm {ENV}={name}: {time.time()-t0:.1f} s (closure ok)", flush=True)
+    return c
 
-if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll", "wfetch"):
+
+codec_a, codec_b = build(False), build(True)
+for e in ENVS:
+    os.environ[e] = VALS[0]
+
+if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll", "wfetch", "wmax64"):
     assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
     assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
     print("streams byte-identical across the knob", flush=True)
