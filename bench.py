@@ -151,7 +151,12 @@ def main():
     from rgbdc_tpu.models import ELICUnited, UnitedCodec
     from rgbdc_tpu.utils.profiling import trace_if_enabled
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 32 > 16 by ~8% serial AND pipelined (interleaved A/B,
+    # tools/prof_batch_ab.py: 23.1 -> 25.1 img/s serial; bench 27.7 ->
+    # 29.6 back-to-back): the rANS scans are row-bound (row count set by
+    # the y/z spatial size, not the batch), so 2x batch amortizes the
+    # scan + dispatch + RTT fixed costs while the convs scale linearly
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
     chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
