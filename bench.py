@@ -93,8 +93,13 @@ else:
     #                WMAX columns runs at VPU rate (A/B at WMAX=128: dec
     #                410->289 ms, e2e serial 751->630; docs/PERF.md).
     #                Only sensible with the tight cap, hence gated here.
+    #   GCOMPACT=onehot word compaction as a masked max-reduce over rows
+    #                (gather-free: the monotone take itself is element-
+    #                bound at ~11 ns/elem; isolated interleaved A/B at
+    #                batch 32: enc program 75 -> 58 ms/modality,
+    #                bit-identical)
     os.environ.setdefault("RGBDC_WMAX", "128")
-    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "onehot")
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 
 import jax

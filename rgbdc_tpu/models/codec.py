@@ -1127,10 +1127,18 @@ class UnitedCodec:
         # via multi-ms full sorts; the monotone-position gather versions
         # are bit-identical (tools/prof_enc_trace.py, docs/PERF.md)
         gc = os.environ.get("RGBDC_ENC_GCOMPACT", "0")
-        if gc not in ("0", "1", "words", "esc"):
+        if gc not in ("0", "1", "words", "esc", "onehot"):
             raise ValueError(f"RGBDC_ENC_GCOMPACT={gc}")
-        self._gc_words = gc in ("1", "words")
-        self._gc_esc = gc in ("1", "esc")
+        # "onehot": words compaction as a masked max-reduce over the rows
+        # (gather-free — even the monotone gather is element-bound at ~11
+        # ns/elem, 12.9 ms/modality at bench shapes; the reduce fuses on
+        # the VPU at ~3 ms).  Escape sideband keeps the binary-search
+        # gather either way.  All modes bit-identical.
+        self._gc_words = (
+            "onehot" if gc == "onehot"
+            else ("gather" if gc in ("1", "words") else False)
+        )
+        self._gc_esc = gc in ("1", "esc", "onehot")
         if self._gc_words and not (self._enc_scanout or self._enc_pallas):
             raise ValueError(
                 "RGBDC_ENC_GCOMPACT words mode needs RGBDC_ENC_SCANOUT=1 "

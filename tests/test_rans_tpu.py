@@ -733,7 +733,7 @@ class TestSmallRowFastPath:
 
         enc_lut = jnp.asarray(rt.build_enc_lut(TABLE))
         outs = []
-        for gather in (False, True):
+        for gather in (False, True, "onehot"):
             outs.append(
                 rt.encode_groups(
                     jnp.asarray(sym), jnp.asarray(idx), enc_lut,
@@ -742,7 +742,8 @@ class TestSmallRowFastPath:
                     gather_compact=gather,
                 )
             )
-        (st0, wc0, w0), (st1, wc1, w1) = outs
-        np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
-        np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
-        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        (st0, wc0, w0) = outs[0]
+        for st1, wc1, w1 in outs[1:]:
+            np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+            np.testing.assert_array_equal(np.asarray(wc0), np.asarray(wc1))
+            np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))

@@ -38,17 +38,19 @@ ENVS = {
     "wfetch": ["RGBDC_DEC_WFETCH"],
     "dot1x1": ["RGBDC_DOT1X1"],
     "wmax64": ["RGBDC_WMAX"],
+    "gc1h": ["RGBDC_ENC_GCOMPACT"],
 }[KNOB]
 # value-knobs: (off, on) env values when not the default "0"/"1"
 VALS = {
     "decunroll": ("1", os.environ.get("PROF_UNROLL", "4")),
     "wfetch": ("gather", "onehot"),
     "wmax64": ("128", "64"),
+    "gc1h": ("1", "onehot"),
 }.get(KNOB, ("0", "1"))
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
-if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64"):
+if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64", "gc1h"):
     # measure on top of the current serving defaults (bench.py)
     for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
               "RGBDC_FLAT_UPLOAD"):
@@ -58,6 +60,9 @@ if KNOB in ("decunroll", "wfetch", "dot1x1"):
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
 if KNOB == "wmax64":
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+    os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
+if KNOB == "gc1h":
+    os.environ.setdefault("RGBDC_WMAX", "128")
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 if KNOB == "dot1x1":
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
@@ -117,7 +122,7 @@ codec_a, codec_b = build(False), build(True)
 for e in ENVS:
     os.environ[e] = VALS[0]
 
-if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll", "wfetch", "wmax64"):
+if KNOB in ("scanout", "flat", "escfix", "gcompact", "decunroll", "wfetch", "wmax64", "gc1h"):
     assert outs["on"]["r_streams"] == outs["off"]["r_streams"], "streams diverge!"
     assert outs["on"]["d_streams"] == outs["off"]["d_streams"], "streams diverge!"
     print("streams byte-identical across the knob", flush=True)
