@@ -474,6 +474,44 @@ def assemble_lanes_container(states, wcounts, words_emitted, nib_streams):
     return b"".join(parts)
 
 
+def assemble_lanes_containers_batch(states, wcounts, words_emitted,
+                                    nib_streams_list=None):
+    """Vectorized whole-batch assemble_lanes_container (byte-identical,
+    pinned by tests): the per-lane slice+reverse+tobytes loop costs ~70 ms
+    of GIL-bound host time per batch-32 at 512 lanes (2 x 512 x 32 small
+    numpy ops); here the lane reversal + concatenation is ONE masked
+    extraction per image (reverse each lane row, keep the tail wcount
+    entries — that tail IS the consume order).
+
+    states [b, L] u32, wcounts [b, L], words_emitted [b, L, wb] in
+    emission order; nib_streams_list: per-image per-lane nibble lists (or
+    None).  Images with nibbles fall back to the per-lane path."""
+    b, lanes = states.shape
+    wb = words_emitted.shape[-1]
+    states = np.ascontiguousarray(states, dtype=np.uint32)
+    wcounts_u = np.ascontiguousarray(wcounts, dtype=np.uint32)
+    assert int(wcounts_u.max(initial=0)) <= 0xFFFF, "lane word count exceeds u16"
+    rev = words_emitted[:, :, ::-1]
+    cols = np.arange(wb)
+    mask = cols >= (wb - wcounts_u.astype(np.int64)[..., None])
+    head = bytes([3, 0, 0, 0])
+    wc16 = wcounts_u.astype(np.uint16)
+    out = []
+    for i in range(b):
+        nibs = nib_streams_list[i] if nib_streams_list is not None else None
+        if nibs is not None and any(len(s) for s in nibs):
+            out.append(
+                assemble_lanes_container(states[i], wcounts_u[i],
+                                         words_emitted[i], nibs)
+            )
+            continue
+        out.append(
+            head + states[i].tobytes() + wc16[i].tobytes()
+            + np.ascontiguousarray(rev[i][mask[i]]).tobytes()
+        )
+    return out
+
+
 def build_nibble_streams(esc_list, group_lens, lanes):
     """Distribute (global_pos, nibbles) escape records into per-lane FIFO
     nibble streams using the group-restarting lane assignment (symbol j of

@@ -1733,17 +1733,16 @@ class UnitedCodec:
                 ]
 
         def asm(states, wc, words, esc_info):
-            from ..coder.rans import assemble_lanes_container, build_nibble_streams
+            from ..coder.rans import (
+                assemble_lanes_containers_batch, build_nibble_streams,
+            )
 
-            def one(i):
-                nibs = (
-                    build_nibble_streams(esc_info[i], all_lens, self.LANES)
-                    if esc_info is not None
-                    else [[] for _ in range(self.LANES)]
-                )
-                return assemble_lanes_container(states[i], wc[i], words[i], nibs)
-
-            return _tmap(one, b)
+            nib_lists = (
+                [build_nibble_streams(esc_info[i], all_lens, self.LANES)
+                 for i in range(b)]
+                if esc_info is not None else None
+            )
+            return assemble_lanes_containers_batch(states, wc, words, nib_lists)
 
         r_streams = asm(rs, rwc, rwords_h, r_esc_info)
         d_streams = asm(ds, dwc, dwords_h, d_esc_info)
