@@ -50,7 +50,7 @@ VALS = {
 ENV = "+".join(ENVS)
 if KNOB == "stack":
     os.environ["RGBDC_WMAX"] = os.environ.get("RGBDC_WMAX", "128")
-if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64", "gc1h"):
+if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64", "gc1h", "flow16"):
     # measure on top of the current serving defaults (bench.py)
     for e in ("RGBDC_DENSE128", "RGBDC_DEC_ESCFIX", "RGBDC_ENC_SCANOUT",
               "RGBDC_FLAT_UPLOAD"):
@@ -61,9 +61,11 @@ if KNOB in ("decunroll", "wfetch", "dot1x1"):
 if KNOB == "wmax64":
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
-if KNOB == "gc1h":
+if KNOB in ("gc1h", "flow16"):
     os.environ.setdefault("RGBDC_WMAX", "128")
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
+if KNOB == "flow16":
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "onehot")
 if KNOB == "dot1x1":
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 REPS = int(os.environ.get("REPS", "4"))
