@@ -199,21 +199,36 @@ def main():
 
     codec = UnitedCodec(model, variables)
 
+    # Pipeline depth: batches in flight at once.  2 = classic two-stage
+    # (compress i+1 overlaps decompress i) — the measured winner.  3 keeps
+    # a second compress in flight AND runs the decode container parse +
+    # h2d dispatch inside the compress worker (codec.prepare_decode_lanes).
+    # Interleaved A/B (tools/prof_pipeline_ab.py, 2026-08-19): d2 32.2/
+    # 32.4 img/s vs d2+prep 25-29 and d3+prep 26-30 — moving the parse +
+    # upload dispatch onto the worker CONTENDS with the decode chain on
+    # the single tunnel link instead of hiding under it.  Default stays 2.
+    pipe_depth = int(os.environ.get("BENCH_DEPTH", "2"))
+
     if wire == "lanes":
 
         def compress(r, d):
             out = codec.compress_lanes(r, d)
-            return out | {"r_strings": out["r_streams"], "d_strings": out["d_streams"]}
+            out = out | {"r_strings": out["r_streams"], "d_strings": out["d_streams"]}
+            if pipe_depth >= 3:
+                out["_prep"] = codec.prepare_decode_lanes(
+                    out["r_streams"], out["d_streams"]
+                )
+            return out
 
-        def decompress(rs, ds, shape):
-            return codec.decompress_lanes(rs, ds, shape)
+        def decompress(rs, ds, shape, prep=None):
+            return codec.decompress_lanes(rs, ds, shape, prepared=prep)
 
     else:
 
         def compress(r, d):
             return codec.compress_pipelined(r, d, chunks=chunks)
 
-        def decompress(rs, ds, shape):
+        def decompress(rs, ds, shape, prep=None):
             return codec.decompress_pipelined(rs, ds, shape, chunks=chunks)
 
     def sync(arr):
@@ -274,19 +289,28 @@ def main():
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     with trace_if_enabled():
         if pipeline:
-            # sustained pipeline: decompress(i) overlaps compress(i+1)
-            pool = ThreadPoolExecutor(2)
+            # sustained pipeline: decompress(i) overlaps compress(i+1..);
+            # depth-1 compresses stay in flight on worker threads
+            from collections import deque
+
+            pool = ThreadPoolExecutor(max(pipe_depth - 1, 1))
             best = 0.0
+            # prime the pipeline once; each pass is then a pure
+            # steady-state window (iters decodes, iters compresses)
+            comp = compress(rgb, depth)
+            futs = deque(
+                pool.submit(compress, rgb, depth) for _ in range(pipe_depth - 2)
+            )
             for p in range(passes):
                 t0 = time.time()
-                comp = compress(rgb, depth)
                 for _ in range(iters):
-                    fut_comp = pool.submit(compress, rgb, depth)
+                    futs.append(pool.submit(compress, rgb, depth))
                     dec = decompress(
-                        comp["r_strings"], comp["d_strings"], comp["shape"]
+                        comp["r_strings"], comp["d_strings"], comp["shape"],
+                        comp.get("_prep"),
                     )
                     sync(dec["x_hat"]["r"])
-                    comp = fut_comp.result()
+                    comp = futs.popleft().result()
                 elapsed = time.time() - t0
                 rate = batch * iters / elapsed
                 print(f"pass {p}: {rate:.2f} img/s", file=sys.stderr)
