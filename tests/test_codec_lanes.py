@@ -63,6 +63,19 @@ class TestLaneCodec:
         )
         assert dec["x_hat"]["r"].shape == self.rgb.shape
         assert dec["x_hat"]["d"].shape == self.depth.shape
+        # prepared-decode path (prepare_decode_lanes hoists the container
+        # parse + upload; opt-in for multi-link serving hosts) must drive
+        # the SAME executables to the same bits
+        prep = self.codec.prepare_decode_lanes(out["r_streams"], out["d_streams"])
+        dec_p = self.codec.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"], prepared=prep
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_p["y_hat"]["r"]), np.asarray(dec["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec_p["x_hat"]["d"]), np.asarray(dec["x_hat"]["d"])
+        )
 
     def test_matches_compat_path(self):
         """Same model, same inputs: lane path and compat path must decode

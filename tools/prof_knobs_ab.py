@@ -57,7 +57,13 @@ if KNOB in ("gcompact", "decunroll", "wfetch", "dot1x1", "wmax64", "gc1h", "flow
         os.environ.setdefault(e, "1")
 if KNOB in ("decunroll", "wfetch", "dot1x1"):
     os.environ.setdefault("RGBDC_WMAX", "128")
+if KNOB in ("wfetch", "dot1x1"):
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
+if KNOB == "decunroll":
+    # measure on the full current bench default stack (onehot wfetch
+    # changed the per-row cost profile the original unroll A/B saw)
+    os.environ.setdefault("RGBDC_ENC_GCOMPACT", "onehot")
+    os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
 if KNOB == "wmax64":
     os.environ.setdefault("RGBDC_ENC_GCOMPACT", "1")
     os.environ.setdefault("RGBDC_DEC_WFETCH", "onehot")
