@@ -28,6 +28,8 @@ import numpy as np
 from ..coder.registry import entropy_coder_classes
 from ..entropy import get_scale_table
 from ..entropy.tables import CdfTable, build_bottleneck_tables, build_gaussian_tables
+from .lane_base import LaneServingBase
+from .lane_single import SingleLaneCodec
 
 
 @dataclass
@@ -156,9 +158,14 @@ def _unpack_sym5(packed: np.ndarray, t: int) -> np.ndarray:
     return out[:, :t]
 
 
-class ElicCodec:
+class ElicCodec(SingleLaneCodec):
     """compress()/decompress() for ELIC-style single-latent checkerboard
-    models (ELIC, Cheng2020+ckbd via shared method names)."""
+    models (ELIC, Cheng2020+ckbd via shared method names).
+
+    Also exposes the lane-format serving path (compress_lanes /
+    decompress_lanes, models/lane_single.py): one on-device rans32 lane
+    stream per image, same fused-program bit-exact closure and serving
+    knobs as the flagship united codec."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model
@@ -316,6 +323,8 @@ class MasterCodec(ElicCodec):
     as ElicCodec, plus the feature-fusion front (decoded aux conditioning)
     and beta/gamma side info (reference testing/tester_master.py:109-148)."""
 
+    LANE_SERVING = False  # aux-conditioned front/synth (compress takes aux)
+
     def __init__(self, model, variables, tables: CodecTables | None = None):
         super().__init__(model, variables, tables)
         mt = type(model)
@@ -417,6 +426,8 @@ class MlicCodec(ElicCodec):
     """MLIC++ driver: ELIC-style checkerboard phases, but the nonanchor and
     merge stages also take the previous slices + hyper (for LRP and the
     global contexts)."""
+
+    LANE_SERVING = False  # decode_nonanchor_mlic takes prev+hyper packs
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         super().__init__(model, variables, tables)
@@ -641,7 +652,7 @@ class ChannelARCodec:
         return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}
 
 
-class UnitedCodec:
+class UnitedCodec(LaneServingBase):
     """compress()/decompress() for the Bi-CEE 4-group joint RGB-D codecs
     (ELIC_united family). Two bitstream pairs per image: (rgb_y, rgb_z) and
     (depth_y, depth_z), matching the reference's paired-file output
@@ -928,81 +939,16 @@ class UnitedCodec:
     # at 128 lanes, ~3 KB at the bench's 512.  The tester keeps the compat
     # format for reference bpp parity; this path is the serving format.
 
-    LANES = int(os.environ.get("RGBDC_LANES", "128"))
-    # set by shard_serving(): NamedSharding for batch-dim-sharded arrays
-    _batch_sharding = None
-
-    def shard_serving(self, mesh) -> "UnitedCodec":
-        """Multi-chip DP serving: shard the image batch (and every wire
-        tensor) over the mesh's 'data' axis; params and decode LUTs are
-        replicated.  Each chip then runs the fused stage programs and the
-        lockstep rans scans on its own sub-batch — the chunk pipeline's
-        1:1 chunk->chip mapping (docs/ROADMAP.md), with zero cross-chip
-        collectives in the codec itself (entropy coding is per-image).
-
-        Must be called before the first compress/decompress so the fused
-        executables compile against the sharded layouts.  The bit-exact
-        enc/dec closure is preserved: both directions run the SAME sharded
-        executables.  Batch size must be a multiple of the mesh size."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        self._mesh = mesh
-        self._batch_sharding = NamedSharding(mesh, P("data"))
-        self._replicated = NamedSharding(mesh, P())
-        self.variables = jax.device_put(self.variables, self._replicated)
-        if getattr(self, "_lane_ready", False):
-            # re-place the LUTs if lane setup already ran unsharded
-            for name in ("_lut_r", "_lut_d", "_enc_lut_r", "_enc_lut_d"):
-                setattr(
-                    self, name, jax.device_put(getattr(self, name), self._replicated)
-                )
-            self._dummy_cache = None
-        return self
-
-    def _put_batch(self, tree):
-        """device_put onto the serving mesh (batch axis sharded); identity
-        when shard_serving was not called."""
-        if self._batch_sharding is None:
-            return tree
-        return jax.tree.map(
-            lambda x: jax.device_put(x, self._batch_sharding), tree
-        )
-    # static words-per-lane / nibble-words-per-lane capacity of the fused
-    # programs; streams longer than this cannot be decoded on-device
-    # (raise, suggesting the env var).  Defaults scale inversely with the
-    # lane count — the main stream consumes <=1 word per symbol, so a
-    # lane's worst case is its symbol count (~total/lanes); keeping
-    # WMAX*LANES constant keeps the [b, LANES, WMAX] buffers (and the
-    # encoder's scatter target) the same size at any lane width.
-    WMAX = int(os.environ.get("RGBDC_WMAX", str(max(512, 655360 // LANES))))
-    BMAX = int(os.environ.get("RGBDC_BMAX", str(max(256, 262144 // LANES))))
-    # per-image capacity of the device encoder's compacted escape sideband;
-    # batches with more escapes/image fall back to the full wire-tensor pull
-    ESC_CAP = int(os.environ.get("RGBDC_ESC_CAP", "4096"))
-    # upload widths are bucketed so repeat batches reuse the pad program;
-    # the bucket scales inversely with the lane count (per-lane words do
-    # too), keeping padding waste <=12% at typical stream sizes (the pad
-    # to WMAX happens on DEVICE, so the bucket only sizes the transfers)
-    WORD_BUCKET = max(16, 16384 // LANES)
+    # device-resident LUTs re-placed onto the mesh by shard_serving
+    _LUT_ATTRS = ("_lut_r", "_lut_d", "_enc_lut_r", "_enc_lut_d")
 
     def _lane_setup(self):
         if getattr(self, "_lane_ready", False):
             return
-        from ..coder import rans_tpu as _rt
-        from ..coder.rans import lanes_encode, lanes_split
-
-        self._rt = _rt
-        self._lanes_encode = lanes_encode
-        self._lanes_split = lanes_split
-        # flat device wire layout (RGBDC_FLAT_UPLOAD=1): words/nibbles
-        # upload as ONE lane-major flat array per stream (the container's
-        # native payload order) instead of per-lane bucket-padded rows —
-        # ~4x fewer h2d bytes at trained stream sizes; each lane's cursor
-        # starts at its base offset.  Must be consistent across
-        # compress/decompress of one codec instance: the fused executables
-        # are shape-specialized, and the enc/dec closure requires both
-        # sides to drive the SAME executable.
-        self._flat_upload = os.environ.get("RGBDC_FLAT_UPLOAD", "0") == "1"
+        self._bind_coder()
+        # serving env-knob snapshot (LaneServingBase._lane_knobs)
+        self._lane_knobs()
+        _rt = self._rt
         # combined tables: rows [0,64) = gaussian conditional, rows [64,..)
         # = the modality's entropy bottleneck (z indexes = 64 + channel)
         self._comb_r = _rt.combine_tables(
@@ -1019,14 +965,9 @@ class UnitedCodec:
         # (capped rows fold their tail into the escape interval), but both
         # encode paths and the decoder all read the capped _comb_* tables,
         # so every cross-path byte-identity below still holds.
-        self._dense = os.environ.get("RGBDC_DENSE128", "0") == "1"
         if self._dense:
-            # 126 = 124 real symbols + escape + terminator: the augmented
-            # dense table (k_cap + offset/maxv columns) lands on exactly
-            # 128 lanes — one tile for the per-row matmul and compares
-            dense_cap = int(os.environ.get("RGBDC_DENSE_CAP", "126"))
-            self._comb_r = _rt.cap_table(self._comb_r, dense_cap)
-            self._comb_d = _rt.cap_table(self._comb_d, dense_cap)
+            self._comb_r = _rt.cap_table(self._comb_r, self._dense_cap)
+            self._comb_d = _rt.cap_table(self._comb_d, self._dense_cap)
         lanes = self.LANES
         model = self.model
         mt = type(model)
@@ -1111,49 +1052,7 @@ class UnitedCodec:
         # live sigma predictions).  "auto" starts compact and self-tunes:
         # if a compress sees the idx-mismatch fallback on every slice, the
         # next compress switches to sym5idx.
-        # encoder-scan knobs, SNAPSHOTTED here so that A/B harnesses can
-        # build two codec instances under different env and have each keep
-        # its own config (the encode programs trace lazily, after the
-        # harness has restored the env — tools/prof_knobs_ab.py)
-        self._enc_scanout = os.environ.get("RGBDC_ENC_SCANOUT", "0") == "1"
-        self._enc_unroll = int(os.environ.get("RGBDC_ENC_UNROLL", "4"))
-        # decode-scan row unroll (k rows per scan step; bit-exact by
-        # construction — same row order/carry math, pads stripped)
-        self._dec_unroll = int(os.environ.get("RGBDC_DEC_UNROLL", "1"))
-        self._enc_pallas = os.environ.get("RGBDC_ENC_PALLAS", "0") == "1"
-        # sort-free compaction of the encode outputs ("1" = both, or
-        # "words" / "esc" to isolate): XLA lowers the arbitrary-index
-        # scatters (word-stream compaction, escape-sideband compaction)
-        # via multi-ms full sorts; the monotone-position gather versions
-        # are bit-identical (tools/prof_enc_trace.py, docs/PERF.md)
-        gc = os.environ.get("RGBDC_ENC_GCOMPACT", "0")
-        if gc not in ("0", "1", "words", "esc", "onehot"):
-            raise ValueError(f"RGBDC_ENC_GCOMPACT={gc}")
-        # "onehot": words compaction as a masked max-reduce over the rows
-        # (gather-free — even the monotone gather is element-bound at ~11
-        # ns/elem, 12.9 ms/modality at bench shapes; the reduce fuses on
-        # the VPU at ~3 ms).  Escape sideband keeps the binary-search
-        # gather either way.  All modes bit-identical.
-        self._gc_words = (
-            "onehot" if gc == "onehot"
-            else ("gather" if gc in ("1", "words") else False)
-        )
-        self._gc_esc = gc in ("1", "esc", "onehot")
-        if self._gc_words and not (self._enc_scanout or self._enc_pallas):
-            raise ValueError(
-                "RGBDC_ENC_GCOMPACT words mode needs RGBDC_ENC_SCANOUT=1 "
-                "(the classic path compacts inside the scan)"
-            )
-        if self._enc_pallas and not self._dense:
-            raise ValueError("RGBDC_ENC_PALLAS=1 requires RGBDC_DENSE128=1")
-        self._pull_auto = True
-        self._pull_mode = os.environ.get("RGBDC_PULL", "auto")
-        if self._pull_mode not in ("auto", "compact", "sym5idx"):
-            raise ValueError(f"RGBDC_PULL={self._pull_mode}")
-        if self._pull_mode != "auto":
-            self._pull_auto = False
-        else:
-            self._pull_mode = "compact"
+        # (All serving knobs were snapshotted by _lane_knobs at the top.)
         self._row_maxv = {
             "r": np.asarray(self._comb_r.cdf_length - 2, np.int32),
             "d": np.asarray(self._comb_d.cdf_length - 2, np.int32),
@@ -1173,7 +1072,7 @@ class UnitedCodec:
         # per group in a post-scan pass over escape ordinals
         # (rans_tpu._escape_fixup).  Bit-exact by construction; the per-row
         # (offset, maxv) tables are a few hundred int32 constants.
-        if os.environ.get("RGBDC_DEC_ESCFIX", "0") == "1":
+        if self._escfix_on:
             escfix_r = (
                 jnp.asarray(self._row_off["r"]), jnp.asarray(self._row_maxv["r"])
             )
@@ -1183,49 +1082,13 @@ class UnitedCodec:
         else:
             escfix_r = escfix_d = None
 
-        # Pallas decode backend (RGBDC_DEC_PALLAS=1, serving opt-in):
-        # requires dense-capped tables + escfix — the kernel is gather-
-        # free and carries no escape machinery (coder/rans_pallas.py).
-        # NOTE the word-capacity tax: the kernel's renorm fetch is a
-        # one-hot over the WMAX columns, so serve with RGBDC_WMAX sized
-        # to real streams (e.g. 128), not the padded default.
-        dec_pallas = os.environ.get("RGBDC_DEC_PALLAS", "0") == "1"
-        if dec_pallas and not (self._dense and escfix_r is not None):
-            raise ValueError(
-                "RGBDC_DEC_PALLAS=1 requires RGBDC_DENSE128=1 and "
-                "RGBDC_DEC_ESCFIX=1"
-            )
-        if dec_pallas and self._flat_upload:
-            raise ValueError(
-                "RGBDC_DEC_PALLAS=1 needs the [b, lanes, W] word layout "
-                "(unset RGBDC_FLAT_UPLOAD)"
-            )
-
-        # one-hot renorm word fetch (RGBDC_DEC_WFETCH=onehot, serving
-        # opt-in): the in-scan take_along_axis gather costs ~11 ns per
-        # ELEMENT on this TPU and was ~90% of decode-scan device time at
-        # bench shapes (tools/prof_decflow_trace.py); a compare-select-
-        # reduce over the (static) word columns runs at VPU vector rate.
-        # Needs the fixed-stride [b, lanes, WMAX] word layout — under
-        # RGBDC_FLAT_UPLOAD the flat payload still crosses the link as
-        # exact bytes and ONE device-side gather unflattens it per batch
-        # (_stack_streams_flat); per-lane word counts must then fit WMAX.
-        # Only sensible with a tight cap: serve with RGBDC_WMAX=128.
-        wfetch = os.environ.get("RGBDC_DEC_WFETCH", "gather")
-        if wfetch not in ("gather", "onehot"):
-            raise ValueError(f"RGBDC_DEC_WFETCH={wfetch}")
-        self._wfetch1h = wfetch == "onehot"
-
-        # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1, serving opt-in):
-        # the fused stage programs' context/aggregation convs run in bf16.
-        # The enc/dec bit-exact closure is untouched BY CONSTRUCTION —
-        # encoder and decoder call the SAME compiled executables, so both
-        # sides see identical (bf16-computed) mu/sigma and identical CDF
-        # row choices.  Rate/quality cost is a slightly coarser sigma
-        # (rows are 13% apart; bf16 is ~0.4% relative) and a mu grid
-        # shift that cancels in sym + mu; measure with
-        # tools/check_bf16_quality.py before relying on it.
-        flow16 = os.environ.get("RGBDC_BF16_FLOW", "0") == "1"
+        # Pallas decode backend / one-hot word fetch / bf16 flow: parsed
+        # and validated by _lane_knobs (docs in lane_base.py).  NOTE the
+        # Pallas word-capacity tax: the kernel's renorm fetch is a one-hot
+        # over the WMAX columns, so serve with RGBDC_WMAX sized to real
+        # streams (e.g. 128), not the padded default.
+        dec_pallas = self._dec_pallas
+        flow16 = self._flow16
 
         def _to16(t):
             return jax.tree.map(
@@ -1362,46 +1225,8 @@ class UnitedCodec:
             return lambda v, *a: f(v, *a, self._lut_r, self._lut_d)
 
         self._fused_slice = {i: make_fs(i) for i in range(len(model.slice_ch))}
-        if self._flat_upload:
-            self._pad_to = {
-                cap: jax.jit(
-                    lambda w, _c=cap: jnp.pad(w, ((0, 0), (0, _c - w.shape[-1])))
-                )
-                for cap in (self.WMAX * lanes, self.BMAX * lanes)
-            }
-        else:
-            self._pad_to = {
-                cap: jax.jit(
-                    lambda w, _c=cap: jnp.pad(
-                        w, ((0, 0), (0, 0), (0, _c - w.shape[-1]))
-                    )
-                )
-                for cap in (self.WMAX, self.BMAX)
-            }
+        self._make_pad_to()
         self._lane_ready = True
-
-    def _dummy_lane_inputs(self, b):
-        """Cached zero (st3, words, byp) the encoder passes to the fused
-        programs (its cond branches never read them)."""
-        cached = getattr(self, "_dummy_cache", None)
-        if cached is not None and cached[0] == b:
-            return cached[1]
-        zs = jnp.zeros((b, self.LANES), jnp.uint32)
-        zp = jnp.zeros((b, self.LANES), jnp.int32)
-        if self._flat_upload:
-            # under the one-hot fetch the words arrive unflattened (see
-            # _stack_streams_flat); the nibble stream stays flat
-            if self._wfetch1h:
-                zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
-            else:
-                zw = jnp.zeros((b, self.LANES * self.WMAX), jnp.uint16)
-            zb = jnp.zeros((b, self.LANES * self.BMAX), jnp.uint16)
-        else:
-            zw = jnp.zeros((b, self.LANES, self.WMAX), jnp.uint16)
-            zb = jnp.zeros((b, self.LANES, self.BMAX), jnp.uint16)
-        zs, zp, zw, zb = self._put_batch((zs, zp, zw, zb))
-        self._dummy_cache = (b, ((zs, zp, zp), zw, zb))
-        return (zs, zp, zp), zw, zb
 
     def _fused_flow(self, v, rgb_y, depth_y, rz_sym, dz_sym,
                     r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
@@ -1469,98 +1294,16 @@ class UnitedCodec:
         cache = getattr(self, "_dev_enc_cache", {})
         if key in cache:
             return cache[key]
-        _rt = self._rt
-        lanes = self.LANES
         n = self.model.N
         zh, zw = zshape
         z_len = zh * zw * n
         all_lens = [z_len] + [int(g) for g in group_lens]
         off_r, off_d = self._row_off["r"], self._row_off["d"]
         mv_r, mv_d = self._row_maxv["r"], self._row_maxv["d"]
-        wcap = self.WMAX
-        cap = self.ESC_CAP
 
-        def small_take(table_np, idx):
-            # y-row lookup as compare-sums: gathers are element-bound on
-            # this TPU (~10 ns/elem); 64 fused scalar compares are cheaper
-            out = jnp.zeros(idx.shape, jnp.int32)
-            for j, tv in enumerate(table_np):
-                out = out + jnp.where(idx == j, jnp.int32(tv), 0)
-            return out
-
-        def one(z_sym, groups, enc_lut, off_np, mv_np, small, small_z=None):
-            z16 = jnp.clip(z_sym, -32768, 32767).astype(jnp.int16).reshape(b, -1)
-            zi = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32) + 64, (b, zh, zw, n)
-            ).reshape(b, -1)
-            y_sym = jnp.concatenate([g[0].reshape(b, -1) for g in groups], axis=1)
-            y_idx = jnp.concatenate(
-                [g[1].reshape(b, -1).astype(jnp.int32) for g in groups], axis=1
-            )
-            # escape detection, split by table structure: z rows are just
-            # 64 + channel, so (offset, maxv) broadcast per channel with
-            # no lookup at all; y rows need only the 64 gaussian entries
-            zv = jnp.clip(z_sym, -32768, 32767).astype(jnp.int32) - jnp.asarray(
-                off_np[64 : 64 + n]
-            )
-            esc_z = (zv < 0) | (zv >= jnp.asarray(mv_np[64 : 64 + n]))
-            yv = y_sym.astype(jnp.int32) - small_take(off_np[:64], y_idx)
-            esc_y = (yv < 0) | (yv >= small_take(mv_np[:64], y_idx))
-            esc = jnp.concatenate([esc_z.reshape(b, -1), esc_y], axis=1)
-            esc_cnt = jnp.sum(esc, axis=1, dtype=jnp.int32)
-
-            sym = jnp.concatenate([z16, y_sym], axis=1)
-            idx = jnp.concatenate([zi, y_idx], axis=1)
-            t = sym.shape[1]
-            pack = (idx << 16) | (sym.astype(jnp.int32) & 0xFFFF)
-            if self._gc_esc:
-                # sort-free sideband compaction: escape positions are
-                # MONOTONE, so slot k is a binary search for the (k+1)-th
-                # set bit in the inclusive escape cumsum (19 aligned
-                # take_along_axis rounds beat XLA's sort-lowered scatter)
-                c = jnp.cumsum(esc.astype(jnp.int32), axis=1)  # [b, t]
-                kq = jnp.arange(cap, dtype=jnp.int32)
-                lo = jnp.zeros((b, cap), jnp.int32)
-                hi = jnp.full((b, cap), t, jnp.int32)
-                for _ in range(int(np.ceil(np.log2(t + 1)))):
-                    mid = (lo + hi) >> 1
-                    v = jnp.take_along_axis(c, jnp.minimum(mid, t - 1), axis=1)
-                    upd = lo < hi
-                    gt = v > kq  # c[mid] > k -> answer <= mid
-                    hi = jnp.where(upd & gt, mid, hi)
-                    lo = jnp.where(upd & ~gt, mid + 1, lo)
-                valid = kq < esc_cnt[:, None]
-                r_k = jnp.minimum(lo, t - 1)
-                esc_pos = jnp.where(valid, lo, -1)
-                esc_pack = jnp.where(
-                    valid, jnp.take_along_axis(pack, r_k, axis=1), 0
-                )
-            else:
-                # exclusive-prefix positions -> 2 scatters
-                pos = jnp.cumsum(esc.astype(jnp.int32), axis=1) - esc.astype(
-                    jnp.int32
-                )
-                tgt = jnp.where(esc, pos, cap)
-                bi = jnp.broadcast_to(
-                    jnp.arange(b, dtype=jnp.int32)[:, None], (b, t)
-                )
-                gpos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
-                esc_pos = jnp.full((b, cap), -1, jnp.int32).at[bi, tgt].set(
-                    gpos, mode="drop"
-                )
-                esc_pack = jnp.zeros((b, cap), jnp.int32).at[bi, tgt].set(
-                    pack, mode="drop"
-                )
-
-            states, wcounts, words = _rt.encode_groups(
-                sym, idx, enc_lut, lanes=lanes, group_lens=all_lens, wcap=wcap,
-                small=small, small_z=small_z,
-                unroll=self._enc_unroll,
-                scan_out=self._enc_scanout,
-                pallas=self._enc_pallas,
-                gather_compact=self._gc_words,
-            )
-            return states, wcounts, words, esc_cnt, esc_pos, esc_pack
+        # single-stream encoder body (LaneServingBase._mk_stream_encoder),
+        # instantiated once per modality below
+        one = self._mk_stream_encoder(b, zh, zw, n, all_lens)
 
         # dense mode splits the encode scan at the z/y boundary: y rows
         # (96% of the scan) use the 64-row gaussian prefix, the z segment
@@ -1630,12 +1373,7 @@ class UnitedCodec:
         )
         _start_host_copy((rs, rwc, resc, rpos, rpack, ds, dwc, desc_, dpos, dpack))
 
-        def _slicer(wb):
-            slicer = getattr(self, "_word_slicers", {})
-            if wb not in slicer:
-                slicer[wb] = jax.jit(lambda w, _wb=wb: w[:, :, :_wb])
-                self._word_slicers = slicer
-            return slicer[wb]
+        _slicer = self._slicer
 
         # SPECULATIVE overlap (the link round trips are the serial tail of
         # compress on a tunneled host): dispatch the words slice at the
@@ -1858,111 +1596,6 @@ class UnitedCodec:
             "shape": (rz_sym.shape[1], rz_sym.shape[2]),
             "y_hat": {"r": r_y_hat, "d": d_y_hat},
         }
-
-    def _stack_streams(self, streams):
-        """Parse + upload a batch of lane containers; returns
-        ((states, pos_init, nib_init), words, byp) ready to seed the fused
-        decode carry.  Classic layout: per-lane rows padded to a bucketed
-        width, cursors start at 0.  RGBDC_FLAT_UPLOAD=1: the container's
-        native lane-major flat payload uploads as-is (exact bytes) and
-        each lane's cursor starts at its base offset."""
-        if self._flat_upload:
-            return self._stack_streams_flat(streams)
-        split = [self._lanes_split(s, self.LANES) for s in streams]
-
-        def stack(k, cap, env):
-            w = max(max((s[k].shape[1] for s in split), default=1), 1)
-            if w > cap:
-                raise ValueError(
-                    f"lane stream needs {w} u16/lane > {env}={cap}; "
-                    "raise the env var (recompiles the fused programs)"
-                )
-            w = min(-(-w // self.WORD_BUCKET) * self.WORD_BUCKET, cap)
-            arr = np.stack(
-                [np.pad(s[k], ((0, 0), (0, w - s[k].shape[1]))) for s in split]
-            )
-            # upload the bucketed width; pad to the static cap on DEVICE
-            return self._pad_to[cap](self._put_batch(jnp.asarray(arr)))
-
-        states = self._put_batch(jnp.asarray(np.stack([s[0] for s in split])))
-        pos0 = jnp.zeros((len(streams), self.LANES), jnp.int32)
-        return (
-            (states, pos0, pos0),
-            stack(1, self.WMAX, "RGBDC_WMAX"),
-            stack(2, self.BMAX, "RGBDC_BMAX"),
-        )
-
-    def _stack_streams_flat(self, streams):
-        from ..coder.rans import lanes_split_flat
-
-        lanes = self.LANES
-        split = [lanes_split_flat(s, lanes) for s in streams]
-        wcap, bcap = self.WMAX * lanes, self.BMAX * lanes
-        bucket = self.WORD_BUCKET * lanes
-
-        def stackf(k, cap, env):
-            w = max(max((s[k].size for s in split), default=1), 1)
-            if w > cap:
-                raise ValueError(
-                    f"lane stream needs {w} flat u16 > {env}*LANES={cap}; "
-                    "raise the env var (recompiles the fused programs)"
-                )
-            w = min(-(-w // bucket) * bucket, cap)
-            arr = np.stack([np.pad(s[k], (0, w - s[k].size)) for s in split])
-            return self._pad_to[cap](self._put_batch(jnp.asarray(arr)))
-
-        states = self._put_batch(jnp.asarray(np.stack([s[0] for s in split])))
-        pos0 = self._put_batch(jnp.asarray(np.stack([s[2] for s in split])))
-        # nibble cursor counts NIBBLES: 4 per u16 word of base offset
-        nib0 = self._put_batch(
-            jnp.asarray(np.stack([s[4] * 4 for s in split]).astype(np.int32))
-        )
-        words = stackf(1, wcap, "RGBDC_WMAX")
-        byp = stackf(3, bcap, "RGBDC_BMAX")
-        if self._wfetch1h:
-            # one-hot fetch needs the fixed-stride [b, lanes, WMAX] layout:
-            # unflatten ON DEVICE with one bucketed gather (the flat
-            # payload already crossed the link as exact bytes), then the
-            # word cursor restarts at 0 per lane.  Nibbles stay flat (the
-            # escape fixup pops a handful per batch).
-            maxc = 1
-            for s in split:
-                counts = np.diff(np.append(s[2], s[1].size))
-                if counts.size:
-                    maxc = max(maxc, int(counts.max()))
-            if maxc > self.WMAX:
-                raise ValueError(
-                    f"a lane holds {maxc} words > RGBDC_WMAX={self.WMAX}; "
-                    "raise the env var (recompiles the fused programs)"
-                )
-            wb = min(-(-maxc // self.WORD_BUCKET) * self.WORD_BUCKET,
-                     self.WMAX)
-            words = self._unflatten_words(wb)(words, pos0)
-            pos0 = jnp.zeros_like(pos0)
-        return ((states, pos0, nib0), words, byp)
-
-    def _unflatten_words(self, wb: int):
-        """Cached jitted flat->[b, lanes, WMAX] word unflatten (gathers only
-        ``wb`` columns per lane — the bucketed max count — and zero-pads the
-        rest, so the gather stays ~b*lanes*wb elements)."""
-        cache = getattr(self, "_unflat_cache", None)
-        if cache is None:
-            cache = self._unflat_cache = {}
-        fn = cache.get(wb)
-        if fn is None:
-            wmax = self.WMAX
-
-            @jax.jit
-            def fn(flat, base):
-                idx = base[..., None] + jnp.arange(wb, dtype=jnp.int32)
-                idx = jnp.clip(idx, 0, flat.shape[-1] - 1)
-                w = jnp.take_along_axis(
-                    flat, idx.reshape(flat.shape[0], -1), axis=-1
-                ).reshape(base.shape + (wb,))
-                return jnp.pad(w, ((0, 0), (0, 0), (0, wmax - wb)))
-
-            cache[wb] = fn
-        return fn
 
     def prepare_decode_lanes(self, r_streams, d_streams):
         """Parse + upload a batch's lane containers ahead of time.

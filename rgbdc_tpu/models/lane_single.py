@@ -1,0 +1,397 @@
+"""Lane-format (fully on-device) serving path for single-latent codecs.
+
+``SingleLaneCodec`` gives the ``ElicCodec`` family (ELIC, Cheng2020-ckbd —
+reference models/elic.py:172-329, any model exposing the
+decode_anchor/decode_nonanchor/merge_slice stage surface) the same serving
+path the flagship ``UnitedCodec`` uses: ONE lane-split rans32 stream per
+image, fused per-slice stage programs shared bit-exactly by encoder and
+decoder (runtime ``is_decode`` branch), the on-device reverse-scan encoder
+with the compacted escape sideband, and every serving knob of the united
+path (RGBDC_DENSE128 / DEC_ESCFIX / DEC_WFETCH / ENC_SCANOUT /
+ENC_GCOMPACT / FLAT_UPLOAD / BF16 / WMAX...).
+
+Wire format: one lane container per image carrying the z symbols followed
+by the per-slice (anchor, nonanchor) y groups in coding order — the
+single-modality half of the united lane format, byte-compatible with the
+same container/assembly helpers (coder/rans.py).
+
+Unlike the united path there is no host C-encoder variant: encoding is
+always on-device (the compat host path is ``ElicCodec.compress``, which
+stays the reference-parity format).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lane_base import LaneServingBase
+
+
+class SingleLaneCodec(LaneServingBase):
+    """Mixin adding compress_lanes/decompress_lanes to single-latent codec
+    drivers (self.model / self.variables / self.tables provided by the
+    driver's __init__, e.g. ElicCodec)."""
+
+    EB_NAME = "entropy_bottleneck"
+    # subclasses whose models do not expose the ELIC stage surface
+    # (MasterCodec's aux-conditioned front, MlicCodec's global contexts)
+    # opt out; calling the lane path there raises instead of desyncing
+    LANE_SERVING = True
+    _LUT_ATTRS = ("_lut", "_enc_lut")
+
+    def _lane_setup(self):
+        if getattr(self, "_lane_ready", False):
+            return
+        if not self.LANE_SERVING:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support the lane serving "
+                "path (model lacks the plain ELIC stage surface)"
+            )
+        self._bind_coder()
+        self._lane_knobs()
+        _rt = self._rt
+
+        # combined table: rows [0,64) = gaussian conditional, rows [64,..)
+        # = the entropy bottleneck (z indexes = 64 + channel)
+        self._comb = _rt.combine_tables(
+            self.tables.gc, self.tables.eb[self.EB_NAME]
+        )
+        if self._dense:
+            self._comb = _rt.cap_table(self._comb, self._dense_cap)
+
+        put = (
+            (lambda x: jax.device_put(x, self._replicated))
+            if self._batch_sharding is not None
+            else jax.device_put
+        )
+        if self._dense:
+            # all rows ride the dense path: the packed LUTs are never
+            # gathered (the big-row while_loops run zero iterations)
+            self._lut = put(jnp.zeros((1, 2), jnp.uint32))
+            cap_len = int(self._comb.cdf_length.max())
+            self._small = _rt.build_small_tables(
+                self._comb, k_cap=cap_len, r_max=1 << 30
+            )
+            assert self._small[3] == self._comb.cdf.shape[0]
+            # y-group decode tables: y indexes are always gaussian rows
+            # (< 64), so the y scans' one-hot needs only that prefix
+            y_rows = self.tables.gc.cdf.shape[0]
+            s = self._small
+            self._small_yp = (s[0][:y_rows], s[1][:y_rows], s[2][:y_rows], y_rows)
+            self._enc_lut = put(jnp.zeros((1,), jnp.uint32))
+        else:
+            kcap = int(os.environ.get("RGBDC_SMALL_KCAP", "40"))
+            self._small = _rt.build_small_tables(self._comb, k_cap=kcap)
+            self._small_yp = self._small
+            self._lut = put(jnp.asarray(_rt.build_lut(self._comb)))
+            self._enc_lut = put(jnp.asarray(_rt.build_enc_lut(self._comb)))
+        self._row_off = np.asarray(self._comb.offset, np.int32)
+        self._row_maxv = np.asarray(self._comb.cdf_length - 2, np.int32)
+
+        if self._escfix_on:
+            escfix = (jnp.asarray(self._row_off), jnp.asarray(self._row_maxv))
+        else:
+            escfix = None
+        self._escfix = escfix
+
+        lanes = self.LANES
+        model = self.model
+        mt = type(model)
+        n = model.N
+        # numpy (STATIC) so build_indexes can unroll its compare-sum
+        st = np.asarray(self.tables.scale_table, dtype=np.float32)
+        dec_pallas = self._dec_pallas
+        flow16 = self._flow16
+
+        def _to16(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+
+        def _to32(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                else x,
+                t,
+            )
+
+        def sapply(v, *args, method):
+            if not flow16:
+                return model.apply(v, *args, method=method)
+            return _to32(model.apply(_to16(v), *_to16(args), method=method))
+
+        def dec_group(st3, words, byp, idx, lut, small=None):
+            b = idx.shape[0]
+            carry = _rt.LaneState(*st3)
+            carry, flat = _rt.decode_group(
+                carry, words, byp, idx.astype(jnp.int32).reshape(b, -1),
+                lut, lanes, small=small, escfix=escfix,
+                pallas=dec_pallas, unroll=self._dec_unroll,
+                wfetch1h=self._wfetch1h,
+            )
+            return tuple(carry), flat.reshape(idx.shape).astype(jnp.int16)
+
+        small_y = self._small_yp if self._dense else self._small
+        z_small = self._small if self._dense else None
+
+        def fused_z(v, st3, words, byp, z_enc, is_decode, lut):
+            """z scan (decode mode) + the hyper-decode program."""
+            b, zh, zw, _ = z_enc.shape
+            c = jnp.arange(n, dtype=jnp.int32) + 64
+            zidx = jnp.broadcast_to(c, (b, zh, zw, n)).reshape(b, -1)
+
+            def dec():
+                carry = _rt.LaneState(*st3)
+                # z stays on the XLA scan even under RGBDC_DEC_PALLAS
+                # (see the united codec's rationale: 2-4% of symbols)
+                carry, flat = _rt.decode_group(
+                    carry, words, byp, zidx, lut, lanes, escfix=escfix,
+                    small=z_small, unroll=self._dec_unroll,
+                    wfetch1h=self._wfetch1h,
+                )
+                return tuple(carry), flat.reshape(b, zh, zw, n)
+
+            st3_out, z = jax.lax.cond(
+                is_decode, dec, lambda: (st3, z_enc)
+            )
+            hyper = sapply(v, z, method=mt.hyper_decode)
+            return st3_out, z, hyper
+
+        def fused_slice(v, i, prev, hyper, y, st3, words, byp, is_decode,
+                        lut):
+            """One slice of the 2-group schedule: stage params + symbol
+            source (scan decode OR quantize-from-y) for both groups."""
+            idx_a, mn_a, ch_ctx = sapply(
+                v, i, prev, hyper, st, method=mt.decode_anchor
+            )
+            st3, sym_a = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_a, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_a, method=mt.anchor_symbols)),
+            )
+            idx_na, mn_na, anchor_hat = sapply(
+                v, i, sym_a, mn_a, ch_ctx, hyper, st,
+                method=mt.decode_nonanchor,
+            )
+            st3, sym_na = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_na, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_na, method=mt.nonanchor_symbols)),
+            )
+            y_hat_slice = model.apply(
+                v, anchor_hat, sym_na, mn_na, method=mt.merge_slice
+            )
+            return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
+
+        jfz = jax.jit(fused_z)
+        self._fused_z1 = lambda v, *a: jfz(v, *a, self._lut)
+
+        def make_fs(i):
+            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
+            return lambda v, *a: f(v, *a, self._lut)
+
+        self._fused_slice1 = {
+            i: make_fs(i) for i in range(len(model.slice_ch))
+        }
+        self._make_pad_to()
+
+        # bf16 serving variants of the conv-heavy stages (RGBDC_BF16=1).
+        # Encoder-side analysis just picks which symbols get coded and
+        # synthesis runs after y_hat is already bit-exact, so the enc/dec
+        # closure is untouched (same rationale as the united codec).
+        self._bf16_serving = os.environ.get("RGBDC_BF16", "0") == "1"
+
+        def _front16(v, x):
+            y, z_sym = model.apply(
+                _to16(v), x.astype(jnp.bfloat16), method=mt.encode_front
+            )
+            return y.astype(jnp.float32), z_sym
+
+        def _synth16(v, y):
+            out = model.apply(
+                _to16(v), y.astype(jnp.bfloat16), method=mt.synthesize
+            )
+            if isinstance(out, tuple):
+                return tuple(x.astype(jnp.float32) for x in out)
+            return out.astype(jnp.float32)
+
+        self._encode_front_srv = (
+            jax.jit(_front16) if self._bf16_serving else self._encode_front
+        )
+        self._synth_lane_srv = (
+            jax.jit(_synth16) if self._bf16_serving else self._synth
+        )
+        self._lane_ready = True
+
+    def _fused_flow_single(self, v, y, z_sym, st3, words, byp, is_decode):
+        """Drive the fused programs over all slices (one modality)."""
+        st3, z, hyper = self._fused_z1(v, st3, words, byp, z_sym, is_decode)
+        prev, groups = [], []
+        for i in range(len(self.model.slice_ch)):
+            y_hat_slice, st3, g_a, g_na = self._fused_slice1[i](
+                v, tuple(prev), hyper, y, st3, words, byp, is_decode
+            )
+            prev.append(y_hat_slice)
+            groups += [g_a, g_na]
+        return z, groups, prev
+
+    def _dev_enc_single(self, b, zshape, group_lens):
+        """Jitted single-stream device encoder (z + y groups in coding
+        order -> reverse-scan rans32 words + compacted escape sideband)."""
+        key = (b, zshape, tuple(group_lens))
+        cache = getattr(self, "_dev_enc_cache1", {})
+        if key in cache:
+            return cache[key]
+        n = self.model.N
+        zh, zw = zshape
+        all_lens = [zh * zw * n] + [int(g) for g in group_lens]
+        one = self._mk_stream_encoder(b, zh, zw, n, all_lens)
+        if self._dense:
+            small, small_z = self._small_yp, self._small
+        else:
+            small, small_z = self._small, None
+        off, mv = self._row_off, self._row_maxv
+
+        jone = jax.jit(
+            lambda z, groups, lut: one(z, groups, lut, off, mv, small, small_z)
+        )
+        fn = lambda z, groups: jone(z, tuple(groups), self._enc_lut)
+        cache[key] = (fn, all_lens)
+        self._dev_enc_cache1 = cache
+        return fn, all_lens
+
+    def compress_lanes(self, x) -> dict:
+        """Encode into the lane-split wire format: ONE stream per image,
+        fully on-device (fused stage programs + reverse-scan encoder);
+        only ~stream-sized bytes cross the host link."""
+        from .codec import _pack_groups, _start_host_copy, eb_channel_indexes
+
+        self._lane_setup()
+        v = self.variables
+        x = self._put_batch(x)
+        y, z_sym = self._encode_front_srv(v, x)
+        b = x.shape[0]
+        st3, zw_, zb_ = self._dummy_lane_inputs(b)
+        z2, groups, prev = self._fused_flow_single(
+            v, y, z_sym, st3, zw_, zb_, jnp.asarray(False)
+        )
+        y_hat = jnp.concatenate(prev, axis=-1)
+        y_lens = [int(np.prod(g[0].shape[1:])) for g in groups]
+        zshape = (int(z_sym.shape[1]), int(z_sym.shape[2]))
+        enc_fn, all_lens = self._dev_enc_single(b, zshape, y_lens)
+        s, wc, words, esc, pos, pack = enc_fn(z2, groups)
+        _start_host_copy((s, wc, esc, pos, pack))
+
+        # speculative words pull at the previous batch's bucket width
+        # (same overlap trick as the united codec: the transfer rides the
+        # link while the counts round-trip; a miss just re-pulls)
+        wb_spec = getattr(self, "_last_wb1", None)
+        spec_words = None
+        if wb_spec is not None:
+            spec_words = _start_host_copy(self._slicer(wb_spec)(words))
+
+        s, wc, esc = jax.device_get((s, wc, esc))
+        wmax_used = int(wc.max())
+        if wmax_used > self.WMAX:
+            raise ValueError(
+                f"device encoder needs {wmax_used} words/lane > "
+                f"RGBDC_WMAX={self.WMAX}; raise the env var"
+            )
+        wb = min(-(-max(wmax_used, 1) // self.WORD_BUCKET) * self.WORD_BUCKET,
+                 self.WMAX)
+        if wb_spec is not None and wmax_used <= wb_spec:
+            wb = wb_spec
+            words_h = jax.device_get(spec_words)
+        else:
+            words_h = jax.device_get(self._slicer(wb)(words))
+        self._last_wb1 = wb
+
+        esc_info = None
+        self.last_esc_path = None
+        if int(esc.sum()):
+            if int(esc.max()) <= self.ESC_CAP:
+                self.last_esc_path = "sideband"
+                from ..coder.rans_tpu import escape_chunks_at
+
+                pos_h, pack_h = jax.device_get((pos, pack))
+                esc_info = []
+                for i in range(b):
+                    c = int(esc[i])
+                    pk = pack_h[i][:c]
+                    sym = (pk & 0xFFFF).astype(np.uint16).view(np.int16)
+                    idx = (pk >> 16).astype(np.uint8)
+                    esc_info.append(
+                        escape_chunks_at(pos_h[i][:c], sym, idx, self._comb)
+                    )
+            else:
+                # pathological stream (untrained model / adversarial
+                # content): fall back to the full wire-tensor pull
+                self.last_esc_path = "full"
+                from ..coder.rans_tpu import escape_chunks
+
+                y_sym, y_idx = jax.device_get(_pack_groups(list(groups)))
+                z_h = jax.device_get(z2)
+                zi = (eb_channel_indexes(z_h.shape) + 64).astype(np.uint8)
+                esc_info = []
+                for i in range(b):
+                    z16 = np.clip(z_h[i], -32768, 32767).astype(np.int16)
+                    esc_info.append(
+                        escape_chunks(
+                            np.concatenate([z16.reshape(-1), y_sym[i]]),
+                            np.concatenate([zi[i].reshape(-1), y_idx[i]]),
+                            self._comb,
+                        )
+                    )
+
+        from ..coder.rans import (
+            assemble_lanes_containers_batch, build_nibble_streams,
+        )
+
+        nib_lists = (
+            [build_nibble_streams(esc_info[i], all_lens, self.LANES)
+             for i in range(b)]
+            if esc_info is not None else None
+        )
+        streams = assemble_lanes_containers_batch(s, wc, words_h, nib_lists)
+        return {"streams": streams, "shape": zshape, "y_hat": y_hat}
+
+    def prepare_decode_lanes_single(self, streams):
+        """Parse + upload a batch's lane containers ahead of time (the
+        serial head of ``decompress_lanes``; see the united codec)."""
+        self._lane_setup()
+        return self._stack_streams(streams)
+
+    def decompress_lanes(self, streams, shape, prepared=None) -> dict:
+        """On-device decode: upload the bitstreams once, then run the SAME
+        fused executables compress_lanes drove, with is_decode=True."""
+        self._lane_setup()
+        v = self.variables
+        zh, zw = int(shape[0]), int(shape[1])
+        b = len(streams)
+        if prepared is None:
+            prepared = self.prepare_decode_lanes_single(streams)
+        st3, words, byp = prepared
+        n = self.model.N
+        m = int(sum(self.model.slice_ch))
+        z0 = jnp.zeros((b, zh, zw, n), jnp.int32)
+        y0 = jnp.zeros((b, zh * 4, zw * 4, m), jnp.float32)
+        _, _, prev = self._fused_flow_single(
+            v, y0, z0, st3, words, byp, jnp.asarray(True)
+        )
+        y_hat = jnp.concatenate(prev, axis=-1)
+        x_hat = self._synth_lane_srv(v, y_hat)
+        if isinstance(x_hat, tuple):  # return_mid aux codec: cascade taps
+            x_hat, up1, up2, up3 = x_hat
+            return {"x_hat": x_hat, "y_hat": y_hat,
+                    "up1": up1, "up2": up2, "up3": up3}
+        return {"x_hat": x_hat, "y_hat": y_hat}

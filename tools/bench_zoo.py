@@ -2,8 +2,9 @@
 throughput of each model family's codec driver on 640x480 content, one
 JSON line per model.  BASELINE.json's five configs name ELIC / ckbd / R2D /
 ELIC_united / STF_united (+ MLIC++); bench.py measures the flagship lane
-path — this harness covers the rest (compat host-serial path for the
-single-latent families, lane path for the united families).
+path — this harness covers the rest (on-device lane path for the united
+AND single-latent ELIC/ckbd families via models/lane_single.py; compat
+host-serial path for MLIC/STF, whose context schedules opt out).
 
 Run (real TPU):  python tools/bench_zoo.py --models ELIC ckbd MLIC STF STF_united
 Env: ZOO_BATCH (default 8), ZOO_ITERS (default 3), BENCH_CKPT ignored
@@ -65,6 +66,11 @@ def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
     def sync(arr):
         np.asarray(arr[:1, :1, :1, :1])
 
+    # single-latent lane serving (models/lane_single.py): ELIC/ckbd get the
+    # same on-device path as the united flagship; MLIC/STF drivers stay on
+    # the compat host-serial format (their context schedules opt out)
+    lanes = (not united) and getattr(type(codec), "LANE_SERVING", False)
+
     def run():
         if united:
             out = codec.compress_lanes(rgb, depth)
@@ -72,6 +78,10 @@ def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
                 out["r_streams"], out["d_streams"], out["shape"]
             )
             sync(dec["x_hat"]["r"])
+        elif lanes:
+            out = codec.compress_lanes(rgb)
+            dec = codec.decompress_lanes(out["streams"], out["shape"])
+            sync(dec["x_hat"])
         else:
             out = codec.compress(rgb)
             dec = codec.decompress(out["strings"], out["shape"])
@@ -96,7 +106,7 @@ def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
         times.append(time.time() - t0)
     return {
         "model": name,
-        "wire": "lanes" if united else "compat",
+        "wire": "lanes" if (united or lanes) else "compat",
         "batch": batch,
         "img_per_s": round(batch / min(times), 3),
         "warmup_s": round(warm, 1),
