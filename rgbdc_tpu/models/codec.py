@@ -29,7 +29,7 @@ from ..coder.registry import entropy_coder_classes
 from ..entropy import get_scale_table
 from ..entropy.tables import CdfTable, build_bottleneck_tables, build_gaussian_tables
 from .lane_base import LaneServingBase
-from .lane_single import SingleLaneCodec
+from .lane_single import CarLaneCodec, MlicLaneCodec, SingleLaneCodec
 
 
 @dataclass
@@ -422,12 +422,14 @@ class MasterCodec(ElicCodec):
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 
-class MlicCodec(ElicCodec):
+class MlicCodec(MlicLaneCodec, ElicCodec):
     """MLIC++ driver: ELIC-style checkerboard phases, but the nonanchor and
     merge stages also take the previous slices + hyper (for LRP and the
-    global contexts)."""
+    global contexts).
 
-    LANE_SERVING = False  # decode_nonanchor_mlic takes prev+hyper packs
+    Lane serving rides models/lane_single.MlicLaneCodec (same wire format
+    and knobs as the flagship; the fused slice program threads the
+    prev+hyper packs through the MLIC context stages)."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         super().__init__(model, variables, tables)
@@ -537,10 +539,15 @@ class MlicCodec(ElicCodec):
         return {"x_hat": self._synth(v, y_hat), "y_hat": y_hat}
 
 
-class ChannelARCodec:
+class ChannelARCodec(CarLaneCodec):
     """compress()/decompress() for channel-autoregressive codecs with no
     checkerboard (STF family): one dense rANS group per slice, sequential
-    slice decode conditioned on previously decoded slices."""
+    slice decode conditioned on previously decoded slices.
+
+    Also exposes the lane-format serving path (compress_lanes /
+    decompress_lanes, models/lane_single.py CarLaneCodec): one on-device
+    rans32 lane stream per image, same fused-program bit-exact closure
+    and serving knobs as the flagship united codec."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         self.model = model

@@ -165,44 +165,9 @@ class SingleLaneCodec(LaneServingBase):
             hyper = sapply(v, z, method=mt.hyper_decode)
             return st3_out, z, hyper
 
-        def fused_slice(v, i, prev, hyper, y, st3, words, byp, is_decode,
-                        lut):
-            """One slice of the 2-group schedule: stage params + symbol
-            source (scan decode OR quantize-from-y) for both groups."""
-            idx_a, mn_a, ch_ctx = sapply(
-                v, i, prev, hyper, st, method=mt.decode_anchor
-            )
-            st3, sym_a = jax.lax.cond(
-                is_decode,
-                lambda: dec_group(st3, words, byp, idx_a, lut, small_y),
-                lambda: (st3,
-                         model.apply(v, i, y, mn_a, method=mt.anchor_symbols)),
-            )
-            idx_na, mn_na, anchor_hat = sapply(
-                v, i, sym_a, mn_a, ch_ctx, hyper, st,
-                method=mt.decode_nonanchor,
-            )
-            st3, sym_na = jax.lax.cond(
-                is_decode,
-                lambda: dec_group(st3, words, byp, idx_na, lut, small_y),
-                lambda: (st3,
-                         model.apply(v, i, y, mn_na, method=mt.nonanchor_symbols)),
-            )
-            y_hat_slice = model.apply(
-                v, anchor_hat, sym_na, mn_na, method=mt.merge_slice
-            )
-            return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
-
         jfz = jax.jit(fused_z)
         self._fused_z1 = lambda v, *a: jfz(v, *a, self._lut)
-
-        def make_fs(i):
-            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
-            return lambda v, *a: f(v, *a, self._lut)
-
-        self._fused_slice1 = {
-            i: make_fs(i) for i in range(len(model.slice_ch))
-        }
+        self._build_slice_programs(sapply, dec_group, small_y, st)
         self._make_pad_to()
 
         # bf16 serving variants of the conv-heavy stages (RGBDC_BF16=1).
@@ -233,16 +198,62 @@ class SingleLaneCodec(LaneServingBase):
         )
         self._lane_ready = True
 
+    def _build_slice_programs(self, sapply, dec_group, small_y, st):
+        """Build the jitted fused per-slice programs (subclass hook: the
+        group schedule is model-specific).  ELIC schedule: two groups per
+        slice (anchor, nonanchor) with the checkerboard context between."""
+        model = self.model
+        mt = type(model)
+
+        def fused_slice(v, i, prev, hyper, y, st3, words, byp, is_decode,
+                        lut):
+            """One slice of the 2-group schedule: stage params + symbol
+            source (scan decode OR quantize-from-y) for both groups."""
+            idx_a, mn_a, ch_ctx = sapply(
+                v, i, prev, hyper, st, method=mt.decode_anchor
+            )
+            st3, sym_a = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_a, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_a, method=mt.anchor_symbols)),
+            )
+            idx_na, mn_na, anchor_hat = sapply(
+                v, i, sym_a, mn_a, ch_ctx, hyper, st,
+                method=mt.decode_nonanchor,
+            )
+            st3, sym_na = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_na, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_na, method=mt.nonanchor_symbols)),
+            )
+            y_hat_slice = model.apply(
+                v, anchor_hat, sym_na, mn_na, method=mt.merge_slice
+            )
+            return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
+
+        def make_fs(i):
+            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
+            return lambda v, *a: f(v, *a, self._lut)
+
+        self._fused_slice1 = {
+            i: make_fs(i) for i in range(len(model.slice_ch))
+        }
+
     def _fused_flow_single(self, v, y, z_sym, st3, words, byp, is_decode):
-        """Drive the fused programs over all slices (one modality)."""
+        """Drive the fused programs over all slices (one modality).  Each
+        slice program returns (y_hat_slice, st3, *groups) — two groups for
+        the ELIC checkerboard schedule, one for the channel-AR schedule."""
         st3, z, hyper = self._fused_z1(v, st3, words, byp, z_sym, is_decode)
         prev, groups = [], []
         for i in range(len(self.model.slice_ch)):
-            y_hat_slice, st3, g_a, g_na = self._fused_slice1[i](
+            out = self._fused_slice1[i](
                 v, tuple(prev), hyper, y, st3, words, byp, is_decode
             )
+            y_hat_slice, st3 = out[0], out[1]
             prev.append(y_hat_slice)
-            groups += [g_a, g_na]
+            groups += list(out[2:])
         return z, groups, prev
 
     def _dev_enc_single(self, b, zshape, group_lens):
@@ -395,3 +406,88 @@ class SingleLaneCodec(LaneServingBase):
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "up1": up1, "up2": up2, "up3": up3}
         return {"x_hat": x_hat, "y_hat": y_hat}
+
+
+class MlicLaneCodec(SingleLaneCodec):
+    """Lane serving for the MLIC++ schedule (reference
+    mlicpp/models/mlicpp.py compress/decompress): ELIC-style checkerboard
+    phases per slice, but the nonanchor and merge stages additionally take
+    the previous slices + hyper (local/global-intra/inter/channel contexts
+    and the LRP refinements)."""
+
+    def _build_slice_programs(self, sapply, dec_group, small_y, st):
+        model = self.model
+        mt = type(model)
+
+        def fused_slice(v, i, prev, hyper, y, st3, words, byp, is_decode,
+                        lut):
+            idx_a, mn_a, pack = sapply(
+                v, i, prev, hyper, st, method=mt.decode_anchor
+            )
+            st3, sym_a = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_a, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_a, method=mt.anchor_symbols)),
+            )
+            idx_na, mn_na, anchor_hat = sapply(
+                v, i, sym_a, mn_a, pack, prev, hyper, st,
+                method=mt.decode_nonanchor_mlic,
+            )
+            st3, sym_na = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_na, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mn_na, method=mt.nonanchor_symbols)),
+            )
+            y_hat_slice = model.apply(
+                v, i, anchor_hat, sym_na, mn_na, prev, hyper,
+                method=mt.merge_slice_mlic,
+            )
+            return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
+
+        def make_fs(i):
+            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
+            return lambda v, *a: f(v, *a, self._lut)
+
+        self._fused_slice1 = {
+            i: make_fs(i) for i in range(len(model.slice_ch))
+        }
+
+
+class CarLaneCodec(SingleLaneCodec):
+    """Lane serving for channel-autoregressive codecs (STF family —
+    reference models/stf.py:430-520): ONE dense rANS group per slice, each
+    slice's entropy parameters conditioned on the previously decoded
+    slices (up to the model's max_support_slices) and the hyper pair.
+    Same wire format, knobs, and device encoder as the ELIC schedule —
+    only the fused per-slice program differs (no checkerboard split)."""
+
+    def _build_slice_programs(self, sapply, dec_group, small_y, st):
+        model = self.model
+        mt = type(model)
+
+        def fused_slice(v, i, prev, hyper, y, st3, words, byp, is_decode,
+                        lut):
+            """One slice of the channel-AR schedule: entropy params from
+            (prev slices, hyper), then scan decode OR quantize-from-y,
+            then the LRP reconstruction."""
+            idx_i, mu = sapply(v, i, prev, hyper, st, method=mt.slice_params)
+            st3, sym = jax.lax.cond(
+                is_decode,
+                lambda: dec_group(st3, words, byp, idx_i, lut, small_y),
+                lambda: (st3,
+                         model.apply(v, i, y, mu, method=mt.slice_symbols)),
+            )
+            y_hat_slice = model.apply(
+                v, i, sym, mu, prev, hyper, method=mt.slice_reconstruct
+            )
+            return (y_hat_slice, st3, (sym, idx_i))
+
+        def make_fs(i):
+            f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
+            return lambda v, *a: f(v, *a, self._lut)
+
+        self._fused_slice1 = {
+            i: make_fs(i) for i in range(len(model.slice_ch))
+        }

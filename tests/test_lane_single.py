@@ -136,11 +136,14 @@ class TestSingleLaneCodec:
             np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
         )
 
-    def test_master_and_mlic_opt_out(self):
+    def test_master_opt_out(self):
+        """MasterCodec's front/synth are conditioned on the decoded aux
+        cascade taps (compress takes aux) — the standalone lane API cannot
+        serve it, so it must opt out loudly."""
         from rgbdc_tpu.models import MasterCodec, MlicCodec
 
         assert MasterCodec.LANE_SERVING is False
-        assert MlicCodec.LANE_SERVING is False
+        assert MlicCodec.LANE_SERVING is True
 
 
 class TestChengCkbdLane:
@@ -155,6 +158,86 @@ class TestChengCkbdLane:
             training=True,
         )
         codec = ElicCodec(model, variables)
+        out = codec.compress_lanes(images)
+        dec = codec.decompress_lanes(out["streams"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+
+
+class TestMlicLane:
+    """MLIC++ lane serving (MlicLaneCodec): checkerboard phases whose
+    nonanchor/merge stages thread prev+hyper through the global contexts."""
+
+    def test_roundtrip_bit_exact(self, images):
+        from rgbdc_tpu.models import MLICPlusPlus, MlicCodec
+
+        model = MLICPlusPlus(N=16, M=32, slice_num=4, in_ch=3)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 64, 64, 3)),
+            training=True,
+        )
+        codec = MlicCodec(model, variables)
+        out = codec.compress_lanes(images)
+        dec = codec.decompress_lanes(out["streams"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        compat = codec.compress(images)
+        np.testing.assert_array_equal(
+            np.asarray(compat["y_hat"]), np.asarray(out["y_hat"])
+        )
+
+
+class TestSTFLane:
+    """Channel-AR lane serving (CarLaneCodec): one dense group per slice,
+    same closure contract as the checkerboard schedule."""
+
+    @pytest.fixture(scope="class")
+    def stf_mv(self):
+        from rgbdc_tpu.models import SymmetricalTransFormer
+
+        model = SymmetricalTransFormer(
+            embed_dim=8, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
+            num_slices=4, in_ch=3,
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 64, 64, 3)),
+            training=True,
+        )
+        return model, variables
+
+    def test_roundtrip_bit_exact(self, stf_mv, images):
+        from rgbdc_tpu.models import ChannelARCodec
+
+        model, variables = stf_mv
+        codec = ChannelARCodec(model, variables)
+        out = codec.compress_lanes(images)
+        dec = codec.decompress_lanes(out["streams"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        assert dec["x_hat"].shape == images.shape
+        # the compat (host-serial) path shares the front/quantize programs'
+        # closure: identical y_hat
+        compat = codec.compress(images)
+        np.testing.assert_array_equal(
+            np.asarray(compat["y_hat"]), np.asarray(out["y_hat"])
+        )
+
+    def test_full_serving_config(self, stf_mv, images, monkeypatch):
+        from rgbdc_tpu.models import ChannelARCodec
+
+        monkeypatch.setenv("RGBDC_DENSE128", "1")
+        monkeypatch.setenv("RGBDC_DEC_ESCFIX", "1")
+        monkeypatch.setenv("RGBDC_ENC_SCANOUT", "1")
+        monkeypatch.setenv("RGBDC_ENC_GCOMPACT", "onehot")
+        monkeypatch.setenv("RGBDC_FLAT_UPLOAD", "1")
+        monkeypatch.setenv("RGBDC_DEC_WFETCH", "onehot")
+        model, variables = stf_mv
+        codec = ChannelARCodec(model, variables)
         out = codec.compress_lanes(images)
         dec = codec.decompress_lanes(out["streams"], out["shape"])
         np.testing.assert_array_equal(

@@ -2,9 +2,10 @@
 throughput of each model family's codec driver on 640x480 content, one
 JSON line per model.  BASELINE.json's five configs name ELIC / ckbd / R2D /
 ELIC_united / STF_united (+ MLIC++); bench.py measures the flagship lane
-path — this harness covers the rest (on-device lane path for the united
-AND single-latent ELIC/ckbd families via models/lane_single.py; compat
-host-serial path for MLIC/STF, whose context schedules opt out).
+path — this harness covers the rest: the on-device lane path for every
+standalone family (united, ELIC/ckbd, MLIC++, STF via
+models/lane_single.py); only the aux-conditioned master cascade stays on
+the compat host-serial format.
 
 Run (real TPU):  python tools/bench_zoo.py --models ELIC ckbd MLIC STF STF_united
 Env: ZOO_BATCH (default 8), ZOO_ITERS (default 3), BENCH_CKPT ignored
@@ -66,9 +67,9 @@ def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
     def sync(arr):
         np.asarray(arr[:1, :1, :1, :1])
 
-    # single-latent lane serving (models/lane_single.py): ELIC/ckbd get the
-    # same on-device path as the united flagship; MLIC/STF drivers stay on
-    # the compat host-serial format (their context schedules opt out)
+    # single-latent lane serving (models/lane_single.py): ELIC/ckbd/MLIC/STF
+    # get the same on-device path as the united flagship; only the
+    # aux-conditioned master cascade stays on the compat host-serial format
     lanes = (not united) and getattr(type(codec), "LANE_SERVING", False)
 
     def run():
