@@ -41,16 +41,20 @@ def get_model_cls(name: str):
 
 def build_model(name: str, config, in_ch: int | None = None):
     """Instantiate a zoo model from a config dict, passing only the fields
-    the model's dataclass accepts (models differ: ckbd has no M/slices)."""
+    the model's dataclass accepts (models differ: ckbd has no M/slices).
+    Fields a model pins (cls.PINNED_CONFIG) keep the class defaults — the
+    reference's STF_united constructor force-overrides slice_ch/N/M on
+    whatever config it receives (models/stf_united.py:639-641)."""
     cls = get_model_cls(name)
     fields = {f.name for f in dataclasses.fields(cls)}
+    pinned = set(getattr(cls, "PINNED_CONFIG", ()))
     kwargs = {}
     for key in ("N", "M", "quant"):
-        if key in fields and key in config:
+        if key in fields and key in config and key not in pinned:
             kwargs[key] = config[key]
-    if "slice_ch" in fields and "slice_ch" in config:
+    if "slice_ch" in fields and "slice_ch" in config and "slice_ch" not in pinned:
         kwargs["slice_ch"] = tuple(config["slice_ch"])
-    if "slice_num" in fields and "slice_num" in config:
+    if "slice_num" in fields and "slice_num" in config and "slice_num" not in pinned:
         kwargs["slice_num"] = config["slice_num"]
     if "in_ch" in fields and in_ch is not None:
         kwargs["in_ch"] = in_ch

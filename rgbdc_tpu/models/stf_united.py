@@ -141,6 +141,12 @@ class STFUnited(ELICUnited):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 4
 
+    # the reference force-overrides these on any config it is handed
+    # (models/stf_united.py:639-641): the swin towers fix M = 8*embed_dim,
+    # so the generic ELIC config's M=320/slice_ch would desync the towers.
+    # build_model() keeps the class defaults for these fields.
+    PINNED_CONFIG = ("N", "M", "slice_ch")
+
     def _setup_transforms(self):
         from ..nn import HyperAnalysisEXcross, HyperSynthesisEXcross
 

@@ -32,6 +32,18 @@ class TestSTFUnited:
         assert m.N == 192 and m.M == 384
         assert tuple(m.slice_ch) == (24, 24, 48, 96, 192)
 
+    def test_build_model_pins_config(self):
+        """build_model must NOT override the pinned swin-tower channels
+        with the generic ELIC config (the reference force-pins these in
+        its constructor, models/stf_united.py:639-641): the towers fix
+        M = 8*embed_dim, so config M=320 would desync them."""
+        from rgbdc_tpu.models import build_model
+        from rgbdc_tpu.utils.config import model_config
+
+        m = build_model("STF_united", model_config())
+        assert m.N == 192 and m.M == 384
+        assert tuple(m.slice_ch) == (24, 24, 48, 96, 192)
+
     def test_forward_and_roundtrip(self, setup, rng):
         model, v = setup
         rgb = jnp.asarray(rng.uniform(size=(1, 256, 256, 3)), dtype=jnp.float32)

@@ -20,6 +20,15 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("RGBDC_SCALE_BOUND", "16")
+# The zoo benches UNTRAINED models (no committed checkpoints outside the
+# flagship): neutralize the checkpoint-gated serving knobs that importing
+# bench.py would otherwise setdefault — floored untrained streams run
+# ~170-330 u16/lane at 512 lanes, far over the trained-stream WMAX=128 cap
+# (and the onehot fetch/compaction modes only pay at a tight cap).
+os.environ.setdefault("RGBDC_LANES", "512")  # bench.py's serving default
+os.environ.setdefault("RGBDC_WMAX", "512")
+os.environ.setdefault("RGBDC_ENC_GCOMPACT", "0")
+os.environ.setdefault("RGBDC_DEC_WFETCH", "gather")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
