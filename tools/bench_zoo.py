@@ -7,33 +7,78 @@ standalone family (united, ELIC/ckbd, MLIC++, STF via
 models/lane_single.py); only the aux-conditioned master cascade stays on
 the compat host-serial format.
 
+Models with a committed calibration checkpoint (calib/<name>_q2.f16.msgpack,
+tools/train_calib.py --model <name>) bench on TRAINED statistics — live
+sigma predictions at the reference 0.11 bound, with the checkpoint-gated
+serving knobs (WMAX=128, onehot compaction/fetch) — exactly the flagship
+bench protocol.  Models without one keep the round-2 untrained protocol
+(sigma floor 16, neutral knobs).  Because the lane capacity knobs
+(RGBDC_LANES/WMAX) are module-import-time constants, the default driver
+mode runs EACH MODEL IN ITS OWN SUBPROCESS with the right env; --inproc is
+the child entry (one model, env already set).
+
 Run (real TPU):  python tools/bench_zoo.py --models ELIC ckbd MLIC STF STF_united
-Env: ZOO_BATCH (default 8), ZOO_ITERS (default 3), BENCH_CKPT ignored
-(untrained weights + serving sigma floor, like round-2 bench protocol).
+Env: ZOO_BATCH (default 8), ZOO_ITERS (default 3).
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("RGBDC_SCALE_BOUND", "16")
-# The zoo benches UNTRAINED models (no committed checkpoints outside the
-# flagship): neutralize the checkpoint-gated serving knobs that importing
-# bench.py would otherwise setdefault — floored untrained streams run
-# ~170-330 u16/lane at 512 lanes, far over the trained-stream WMAX=128 cap
-# (and the onehot fetch/compaction modes only pay at a tight cap).
-os.environ.setdefault("RGBDC_LANES", "512")  # bench.py's serving default
-os.environ.setdefault("RGBDC_WMAX", "512")
-os.environ.setdefault("RGBDC_ENC_GCOMPACT", "0")
-os.environ.setdefault("RGBDC_DEC_WFETCH", "gather")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def calib_path(name: str) -> str:
+    return os.path.join(_REPO, "calib", f"{name}_q2.f16.msgpack")
+
+
+def env_for(name: str) -> dict:
+    """Child env: the bench.py serving knob set, with the checkpoint-gated
+    knobs enabled iff this model has a committed calibration checkpoint.
+    Values already present in the caller's env win (A/B harness override)."""
+    ck = calib_path(name)
+    trained = os.path.exists(ck)
+    knobs = {
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+        "RGBDC_DEVICE_ENCODE": "1",
+        "RGBDC_BF16": "1",
+        "RGBDC_LANES": "512",
+        "RGBDC_DENSE128": "1",
+        "RGBDC_DEC_ESCFIX": "1",
+        "RGBDC_ENC_SCANOUT": "1",
+        "RGBDC_FLAT_UPLOAD": "1",
+    }
+    if trained:
+        knobs.update(
+            RGBDC_WMAX="128",
+            RGBDC_ENC_GCOMPACT="onehot",
+            RGBDC_DEC_WFETCH="onehot",
+            ZOO_CKPT=ck,
+        )
+    else:
+        # untrained: sigma floor + wide word cap (floored streams run
+        # ~170-330 u16/lane at 512 lanes) + neutral knobs (the onehot
+        # modes only pay at a tight cap)
+        knobs.update(
+            RGBDC_SCALE_BOUND="16",
+            RGBDC_WMAX="512",
+            RGBDC_ENC_GCOMPACT="0",
+            RGBDC_DEC_WFETCH="gather",
+        )
+    env = dict(os.environ)
+    env.update({k: v for k, v in knobs.items() if k not in os.environ})
+    return env
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
 def _codec_for(name, model, variables):
@@ -69,6 +114,16 @@ def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
         *example,
         training=True,
     )
+    ckpt = os.environ.get("ZOO_CKPT")
+    if ckpt:
+        from tools.export_calib import load_calib_params_device
+
+        variables = {"params": load_calib_params_device(ckpt, variables["params"])}
+        print(
+            f"# {name}: calibration checkpoint {os.path.basename(ckpt)}, "
+            f"sigma bound {os.environ.get('RGBDC_SCALE_BOUND', '0.11 (default)')}",
+            flush=True,
+        )
     codec = _codec_for(name, model, variables)
     rgb = jnp.asarray(rgb_np)
     depth = jnp.asarray(depth_np)
@@ -132,7 +187,36 @@ def main():
     )
     ap.add_argument("--batch", type=int, default=int(os.environ.get("ZOO_BATCH", 8)))
     ap.add_argument("--iters", type=int, default=int(os.environ.get("ZOO_ITERS", 3)))
+    ap.add_argument(
+        "--inproc", action="store_true",
+        help="child mode: bench the given models in THIS process (env "
+        "must already carry the right knob set — the default driver mode "
+        "sets it per model and spawns one child each)",
+    )
     args = ap.parse_args()
+
+    if not args.inproc:
+        for name in args.models:
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__), "--inproc",
+                    "--models", name, "--batch", str(args.batch),
+                    "--iters", str(args.iters),
+                ],
+                env=env_for(name), cwd=_REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            out = proc.stdout.strip()
+            # forward the child's JSON row(s); surface a crash as a row
+            if out:
+                print(out, flush=True)
+            if proc.returncode != 0:
+                tail = "; ".join(proc.stderr.strip().splitlines()[-3:])
+                print(
+                    json.dumps({"model": name, "error": f"child rc={proc.returncode}: {tail}"}),
+                    flush=True,
+                )
+        return
 
     from rgbdc_tpu.utils.cache import enable_compile_cache
 

@@ -1,19 +1,22 @@
-"""Train the flagship ELIC_united calibration checkpoint on the committed
-fixtures (reference protocol analog: overfit so the codec's serving-path
-statistics — live sigma predictions, residual ranges, escape rates — are
-those of a *trained* model rather than random init; see VERDICT round 2,
-"What's weak" #2).
+"""Train a calibration checkpoint on the committed fixtures (reference
+protocol analog: overfit so the codec's serving-path statistics — live
+sigma predictions, residual ranges, escape rates — are those of a
+*trained* model rather than random init; see VERDICT round 2, "What's
+weak" #2).
 
 Data = the exact bench content distribution (bench.py _bench_images): the
 three committed photographic fixtures resized to 640x512 with per-image
 photometric jitter, sampled as random 256x256 crops.  Loss = united RD at
 q=2_2 (lambda 0.0067, the reference's canonical run, README.md:66-69),
-depth term MSE (the reference's warmup regime, utils/rd_loss.py:105-113).
+depth term MSE (the reference's warmup regime, utils/rd_loss.py:105-113);
+standalone models (--model ELIC/ckbd/MLIC/STF) train the single-modal RD
+loss at the same lambda (reference utils/rd_loss.py:9-37).
 
 Writes checkpoints to --out (default /tmp/calib_ckpt); the final committed
 artifact is produced by tools/export_calib.py (f16-quantized params-only).
 
 Run:  python tools/train_calib.py --steps 4000 --batch 8
+      python tools/train_calib.py --model ELIC --steps 3000
 """
 
 import argparse
@@ -76,6 +79,7 @@ def build_crop_pool(n_batches: int, batch: int, crop: int, seed: int = 0):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ELIC_united")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--crop", type=int, default=256)
@@ -89,24 +93,28 @@ def main():
     args = ap.parse_args()
 
     enable_compile_cache()
-    from rgbdc_tpu.models import ELICUnited
+    from rgbdc_tpu.models import build_model
     from rgbdc_tpu.training import (
         create_train_state,
         make_dual_optimizer,
         rate_distortion_loss_united,
     )
+    from rgbdc_tpu.training.losses import rate_distortion_loss_single
+    from rgbdc_tpu.utils.config import mlic_model_config, model_config
     from flax import serialization
 
     from rgbdc_tpu.training.checkpoint import load_params
     from rgbdc_tpu.training.state import make_train_step
 
     print(f"devices: {jax.devices()}", flush=True)
+    united = "united" in args.model
     pool = [
-        (jnp.asarray(r), jnp.asarray(d))
+        (jnp.asarray(r), jnp.asarray(d)) if united else (jnp.asarray(r),)
         for r, d in build_crop_pool(args.pool, args.batch, args.crop)
     ]
 
-    model = ELICUnited()
+    cfg = mlic_model_config() if "MLIC" in args.model else model_config()
+    model = build_model(args.model, cfg, in_ch=None if united else 3)
     tx = make_dual_optimizer(args.lr)
     t0 = time.time()
     state = create_train_state(model, jax.random.PRNGKey(0), pool[0], tx)
@@ -120,17 +128,21 @@ def main():
         state = state.replace(params=load_params(args.resume, state.params))
         print(f"resumed params from {args.resume}", flush=True)
 
-    step_fn = make_train_step(
-        model,
-        lambda out, r, d: rate_distortion_loss_united(out, r, d, args.lam, args.lam),
-        donate=True,
-    )
+    if united:
+        loss_fn = lambda out, r, d: rate_distortion_loss_united(  # noqa: E731
+            out, r, d, args.lam, args.lam
+        )
+    else:
+        loss_fn = lambda out, x: rate_distortion_loss_single(  # noqa: E731
+            out, x, args.lam
+        )
+    step_fn = make_train_step(model, loss_fn, donate=True)
 
     best = float("inf")
     t0 = time.time()
     for i in range(start_step, args.steps):
-        rgb, depth = pool[i % len(pool)]
-        state, metrics = step_fn(state, (rgb, depth), jax.random.PRNGKey(i))
+        batch = pool[i % len(pool)]
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
         if i == start_step:
             loss0 = float(metrics["loss"])  # forces compile + first step
             print(f"first step (incl compile): {time.time()-t0:.1f}s "
@@ -139,22 +151,25 @@ def main():
         elif (i + 1) % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             rate = args.log_every / (time.time() - t0) if i + 1 > start_step + args.log_every else (i - start_step) / (time.time() - t0)
-            print(
-                json.dumps(
-                    {
-                        "step": i + 1,
-                        "loss": round(m["loss"], 4),
-                        "r_bpp": round(m["r_bpp_loss"], 4),
-                        "d_bpp": round(m["d_bpp_loss"], 4),
-                        "r_mse255": round(m["r_mse_loss"] * 255**2, 3),
-                        "d_mse255": round(m["d_mse_loss"] * 255**2, 3),
-                        "aux": round(m["aux_loss"], 2),
-                        "skip": m["step_skipped"],
-                        "steps_per_s": round(rate, 2),
-                    }
-                ),
-                flush=True,
+            row = {"step": i + 1, "loss": round(m["loss"], 4)}
+            if united:
+                row.update(
+                    r_bpp=round(m["r_bpp_loss"], 4),
+                    d_bpp=round(m["d_bpp_loss"], 4),
+                    r_mse255=round(m["r_mse_loss"] * 255**2, 3),
+                    d_mse255=round(m["d_mse_loss"] * 255**2, 3),
+                )
+            else:
+                row.update(
+                    bpp=round(m["bpp_loss"], 4),
+                    mse255=round(m["mse_loss"] * 255**2, 3),
+                )
+            row.update(
+                aux=round(m["aux_loss"], 2),
+                skip=m["step_skipped"],
+                steps_per_s=round(rate, 2),
             )
+            print(json.dumps(row), flush=True)
             t0 = time.time()
         if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
             loss = float(metrics["loss"])
