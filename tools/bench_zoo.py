@@ -95,9 +95,77 @@ def _codec_for(name, model, variables):
     return ElicCodec(model, variables)
 
 
+def bench_master(batch: int, iters: int, rgb_np, depth_np):
+    """Full master cascade (reference testing/tester_master.py:27-148): the
+    aux codec round-trips depth first, the master codec is conditioned on
+    the DECODED aux + decoder taps.  Host-serial compat wire — the master
+    front/synth take per-image aux conditioning, so it stays off the lane
+    path (models/codec.py MasterCodec.LANE_SERVING)."""
+    from rgbdc_tpu.models import ELIC, ELICMaster, ElicCodec, MasterCodec
+    from rgbdc_tpu.utils.config import model_config
+
+    cfg = model_config()
+    kw = dict(N=cfg["N"], M=cfg["M"], slice_ch=tuple(cfg["slice_ch"]))
+    aux_model = ELIC(**kw, in_ch=1, return_mid=True)
+    aux_vars = aux_model.init(
+        {"params": jax.random.PRNGKey(42), "noise": jax.random.PRNGKey(43)},
+        jnp.zeros((1, 256, 256, 1)),
+        training=True,
+    )
+    aux_codec = ElicCodec(aux_model, aux_vars)
+
+    master = ELICMaster(**kw, in_ch=3)
+    n = cfg["N"]
+    mv = master.init(
+        {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 256, 256, 3)),
+        jnp.zeros((1, 256, 256, 1)),
+        jnp.zeros((1, 32, 32, n)),
+        jnp.zeros((1, 64, 64, n)),
+        jnp.zeros((1, 128, 128, n)),
+        training=True,
+    )
+    codec = MasterCodec(master, mv)
+    rgb = jnp.asarray(rgb_np)
+    depth = jnp.asarray(depth_np)
+
+    def run():
+        ac = aux_codec.compress(depth)
+        ad = aux_codec.decompress(ac["strings"], ac["shape"])
+        aux_hat = ad["x_hat"]
+        ups = (ad["up1"], ad["up2"], ad["up3"])
+        comp = codec.compress(rgb, aux_hat)
+        dec = codec.decompress(
+            comp["strings"], comp["shape"], aux_hat, ups, comp["side_info"]
+        )
+        np.asarray(dec["x_hat"][:1, :1, :1, :1])
+        return comp, dec
+
+    t0 = time.time()
+    comp, dec = run()
+    warm = time.time() - t0
+    np.testing.assert_array_equal(np.asarray(dec["y_hat"]), np.asarray(comp["y_hat"]))
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return {
+        "model": "master",
+        "wire": "compat-cascade",
+        "batch": batch,
+        "img_per_s": round(batch / min(times), 3),
+        "warmup_s": round(warm, 1),
+        "times_s": [round(t, 2) for t in times],
+    }
+
+
 def bench_one(name: str, batch: int, iters: int, rgb_np, depth_np):
     from rgbdc_tpu.models import build_model
     from rgbdc_tpu.utils.config import mlic_model_config, model_config
+
+    if name == "master":
+        return bench_master(batch, iters, rgb_np, depth_np)
 
     united = name in ("ELIC_united", "ELIC_united_R2D", "STF_united")
     cfg = mlic_model_config() if name == "MLIC" else model_config()
@@ -183,7 +251,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--models", nargs="+",
-        default=["ELIC", "ckbd", "MLIC", "STF", "ELIC_united_R2D", "STF_united"],
+        default=["ELIC", "ckbd", "MLIC", "STF", "ELIC_united_R2D", "STF_united", "master"],
     )
     ap.add_argument("--batch", type=int, default=int(os.environ.get("ZOO_BATCH", 8)))
     ap.add_argument("--iters", type=int, default=int(os.environ.get("ZOO_ITERS", 3)))
