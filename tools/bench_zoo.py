@@ -112,6 +112,20 @@ def bench_master(batch: int, iters: int, rgb_np, depth_np):
         jnp.zeros((1, 256, 256, 1)),
         training=True,
     )
+    ckpt = os.environ.get("ZOO_CKPT")
+    if ckpt:
+        from tools.export_calib import load_calib_params_device
+
+        aux_ck = ckpt.replace("_q2.f16.msgpack", "_aux_q2.f16.msgpack")
+        aux_vars = {
+            "params": load_calib_params_device(aux_ck, aux_vars["params"])
+        }
+        print(
+            f"# master: calibration checkpoints {os.path.basename(ckpt)} + "
+            f"{os.path.basename(aux_ck)}, sigma bound "
+            f"{os.environ.get('RGBDC_SCALE_BOUND', '0.11 (default)')}",
+            flush=True,
+        )
     aux_codec = ElicCodec(aux_model, aux_vars)
 
     master = ELICMaster(**kw, in_ch=3)
@@ -125,6 +139,10 @@ def bench_master(batch: int, iters: int, rgb_np, depth_np):
         jnp.zeros((1, 128, 128, n)),
         training=True,
     )
+    if ckpt:
+        from tools.export_calib import load_calib_params_device
+
+        mv = {"params": load_calib_params_device(ckpt, mv["params"])}
     codec = MasterCodec(master, mv)
     rgb = jnp.asarray(rgb_np)
     depth = jnp.asarray(depth_np)

@@ -77,6 +77,108 @@ def build_crop_pool(n_batches: int, batch: int, crop: int, seed: int = 0):
     return pool
 
 
+def train_master(args, pool):
+    """Two-phase master-cascade calibration (reference trainer_master.py:24-48
+    protocol): (A) overfit a depth-aux ELIC (in_ch=1, return_mid=True) with
+    the single-modal RD loss, then (B) freeze it and train the RGB master
+    conditioned on the aux codec's DECODED image + decoder taps (eval-mode
+    forward, stop-gradient — the reference runs the aux net frozen in eval
+    mode too).  The conditioning is recomputed per step rather than cached:
+    the cached taps for a 30-batch pool are ~4 GB of HBM (up3 alone is
+    8x128x128x192 f32 per batch) while the frozen forward is cheap.
+
+    Writes checkpoint_latest.msgpack (master params) and
+    checkpoint_aux.msgpack (aux params) under --out; export each with
+    tools/export_calib.py --fit-quantiles entropy_bottleneck to
+    calib/master_q2.f16.msgpack / calib/master_aux_q2.f16.msgpack
+    (tools/bench_zoo.py picks both up by name)."""
+    from flax import serialization
+
+    from rgbdc_tpu.models import ELIC, build_model
+    from rgbdc_tpu.training import create_train_state, make_dual_optimizer
+    from rgbdc_tpu.training.losses import rate_distortion_loss_single
+    from rgbdc_tpu.training.state import make_train_step
+    from rgbdc_tpu.utils.config import model_config
+
+    cfg = model_config()
+    loss_fn = lambda out, *b: rate_distortion_loss_single(  # noqa: E731
+        out, b[0], args.lam
+    )
+    os.makedirs(args.out, exist_ok=True)
+
+    def save(params, fname, step, loss):
+        path = os.path.join(args.out, fname)
+        payload = serialization.to_bytes({"params": jax.device_get(params)})
+        with open(path, "wb") as f:
+            f.write(payload)
+        print(
+            f"saved {path} @ step {step} loss {loss:.3f} "
+            f"({len(payload)/1e6:.0f} MB)",
+            flush=True,
+        )
+
+    def run_phase(tag, step_fn, state, batches, n_steps, extra_keys):
+        t0 = time.time()
+        for i in range(n_steps):
+            state, metrics = step_fn(state, batches(i), jax.random.PRNGKey(i))
+            if i == 0:
+                print(
+                    f"[{tag}] first step (incl compile): {time.time()-t0:.1f}s "
+                    f"loss={float(metrics['loss']):.3f}",
+                    flush=True,
+                )
+                t0 = time.time()
+            elif (i + 1) % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                row = {"phase": tag, "step": i + 1, "loss": round(m["loss"], 4)}
+                row.update({k: round(m[k], 4) for k in extra_keys})
+                row["steps_per_s"] = round(args.log_every / (time.time() - t0), 2)
+                print(json.dumps(row), flush=True)
+                t0 = time.time()
+        return state, float(metrics["loss"])
+
+    # ---- phase A: depth-aux ELIC ----
+    aux = ELIC(
+        N=cfg["N"], M=cfg["M"], slice_ch=tuple(cfg["slice_ch"]),
+        quant=cfg["quant"], in_ch=1, return_mid=True,
+    )
+    astate = create_train_state(
+        aux, jax.random.PRNGKey(0), (pool[0][1],), make_dual_optimizer(args.lr)
+    )
+    astep = make_train_step(aux, loss_fn, donate=True)
+    astate, aloss = run_phase(
+        "aux", astep, astate,
+        lambda i: (pool[i % len(pool)][1],),
+        args.aux_steps, ("bpp_loss",),
+    )
+    aux_params = astate.params
+    save(aux_params, "checkpoint_aux.msgpack", args.aux_steps, aloss)
+    del astate, astep
+
+    # ---- phase B: frozen-aux master ----
+    afwd = jax.jit(lambda p, x: aux.apply({"params": p}, x, training=False))
+
+    def master_batch(i):
+        r, d = pool[i % len(pool)]
+        o = afwd(aux_params, d)
+        sg = jax.lax.stop_gradient
+        return (r, sg(o["x_hat"]), sg(o["up1"]), sg(o["up2"]), sg(o["up3"]))
+
+    mdl = build_model("ELIC_master", cfg, in_ch=3)
+    mstate = create_train_state(
+        mdl, jax.random.PRNGKey(1), master_batch(0), make_dual_optimizer(args.lr)
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(mstate.params)
+    )
+    print(f"master: {n_params/1e6:.1f}M params", flush=True)
+    mstep = make_train_step(mdl, loss_fn, donate=True)
+    mstate, mloss = run_phase(
+        "master", mstep, mstate, master_batch, args.steps, ("bpp_loss",)
+    )
+    save(mstate.params, "checkpoint_latest.msgpack", args.steps, mloss)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ELIC_united")
@@ -90,6 +192,10 @@ def main():
     ap.add_argument("--save-every", type=int, default=2000)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--resume", default="")
+    ap.add_argument(
+        "--aux-steps", type=int, default=1500,
+        help="ELIC_master only: phase-A steps for the frozen depth-aux ELIC",
+    )
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -108,10 +214,14 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     united = "united" in args.model
+    both = united or args.model == "ELIC_master"
     pool = [
-        (jnp.asarray(r), jnp.asarray(d)) if united else (jnp.asarray(r),)
+        (jnp.asarray(r), jnp.asarray(d)) if both else (jnp.asarray(r),)
         for r, d in build_crop_pool(args.pool, args.batch, args.crop)
     ]
+    if args.model == "ELIC_master":
+        train_master(args, pool)
+        return
 
     cfg = mlic_model_config() if "MLIC" in args.model else model_config()
     model = build_model(args.model, cfg, in_ch=None if united else 3)
