@@ -286,7 +286,10 @@ def main():
     # code measured 31.1 and 18.2 img/s an hour apart, docs/PERF.md), so
     # the max over a few independent windows is the honest sustained
     # number for the codec rather than for the link's worst moment.
-    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    # 5 windows (~7 s each at batch 32) keeps the added cost well under
+    # the compile/warmup time while roughly doubling the odds that at
+    # least one window dodges a transient stall.
+    passes = int(os.environ.get("BENCH_PASSES", "5"))
     with trace_if_enabled():
         if pipeline:
             # sustained pipeline: decompress(i) overlaps compress(i+1..);
