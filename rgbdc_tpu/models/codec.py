@@ -29,7 +29,12 @@ from ..coder.registry import entropy_coder_classes
 from ..entropy import get_scale_table
 from ..entropy.tables import CdfTable, build_bottleneck_tables, build_gaussian_tables
 from .lane_base import LaneServingBase
-from .lane_single import CarLaneCodec, MlicLaneCodec, SingleLaneCodec
+from .lane_single import (
+    CarLaneCodec,
+    MasterLaneCodec,
+    MlicLaneCodec,
+    SingleLaneCodec,
+)
 
 
 @dataclass
@@ -318,12 +323,15 @@ class ElicCodec(SingleLaneCodec):
         return {"x_hat": x_hat, "y_hat": y_hat}
 
 
-class MasterCodec(ElicCodec):
+class MasterCodec(MasterLaneCodec, ElicCodec):
     """Cascade codec driver for ELIC_master: same 5-slice checkerboard loop
     as ElicCodec, plus the feature-fusion front (decoded aux conditioning)
-    and beta/gamma side info (reference testing/tester_master.py:109-148)."""
+    and beta/gamma side info (reference testing/tester_master.py:109-148).
 
-    LANE_SERVING = False  # aux-conditioned front/synth (compress takes aux)
+    Lane serving rides models/lane_single.MasterLaneCodec: the aux ELIC
+    decodes through its own lane path (image + up-taps stay on device) and
+    the master's lane programs condition on them — the compat host-serial
+    wire below remains for reference parity."""
 
     def __init__(self, model, variables, tables: CodecTables | None = None):
         super().__init__(model, variables, tables)

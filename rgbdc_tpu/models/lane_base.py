@@ -171,6 +171,13 @@ class LaneServingBase:
         if wfetch not in ("gather", "onehot"):
             raise ValueError(f"RGBDC_DEC_WFETCH={wfetch}")
         self._wfetch1h = wfetch == "onehot"
+        # single-program slice flow (RGBDC_FUSE_SLICES=1): trace the z
+        # program + EVERY fused slice program into ONE executable per
+        # direction instead of 1+n_slices dispatches.  Bit-exact by
+        # construction (same op sequence, one trace); the win is dispatch
+        # count and cross-slice scheduling — aimed at many-slice schedules
+        # (MLIC++'s 10 even slices) where per-program overhead dominates.
+        self._fuse_all = os.environ.get("RGBDC_FUSE_SLICES", "0") == "1"
         # bf16 entropy-parameter flow (RGBDC_BF16_FLOW=1): the fused stage
         # programs' context/aggregation convs run in bf16.  The enc/dec
         # bit-exact closure is untouched BY CONSTRUCTION — encoder and

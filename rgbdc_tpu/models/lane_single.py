@@ -37,8 +37,7 @@ class SingleLaneCodec(LaneServingBase):
     driver's __init__, e.g. ElicCodec)."""
 
     EB_NAME = "entropy_bottleneck"
-    # subclasses whose models do not expose the ELIC stage surface
-    # (MasterCodec's aux-conditioned front, MlicCodec's global contexts)
+    # subclasses whose models do not expose the required stage surface may
     # opt out; calling the lane path there raises instead of desyncing
     LANE_SERVING = True
     _LUT_ATTRS = ("_lut", "_enc_lut")
@@ -166,6 +165,7 @@ class SingleLaneCodec(LaneServingBase):
             return st3_out, z, hyper
 
         jfz = jax.jit(fused_z)
+        self._fused_z_body = fused_z
         self._fused_z1 = lambda v, *a: jfz(v, *a, self._lut)
         self._build_slice_programs(sapply, dec_group, small_y, st)
         self._make_pad_to()
@@ -175,6 +175,14 @@ class SingleLaneCodec(LaneServingBase):
         # synthesis runs after y_hat is already bit-exact, so the enc/dec
         # closure is untouched (same rationale as the united codec).
         self._bf16_serving = os.environ.get("RGBDC_BF16", "0") == "1"
+        self._build_serving_front_synth(_to16)
+        self._lane_ready = True
+
+    # -- front/synth hooks (subclass: conditioned codecs) ----------------------
+
+    def _build_serving_front_synth(self, _to16):
+        model = self.model
+        mt = type(model)
 
         def _front16(v, x):
             y, z_sym = model.apply(
@@ -196,7 +204,19 @@ class SingleLaneCodec(LaneServingBase):
         self._synth_lane_srv = (
             jax.jit(_synth16) if self._bf16_serving else self._synth
         )
-        self._lane_ready = True
+
+    def _lane_front(self, v, x, cond):
+        """(y, z_sym, side-info-or-None) for the encode direction; ``cond``
+        is the extra conditioning the public signature threads through
+        (empty for plain single-latent codecs)."""
+        y, z_sym = self._encode_front_srv(v, x)
+        return y, z_sym, None
+
+    def _side_to_host(self, side):
+        raise NotImplementedError  # only conditioned codecs emit side info
+
+    def _lane_synth(self, v, y_hat, cond, side_info):
+        return self._synth_lane_srv(v, y_hat)
 
     def _build_slice_programs(self, sapply, dec_group, small_y, st):
         """Build the jitted fused per-slice programs (subclass hook: the
@@ -233,6 +253,8 @@ class SingleLaneCodec(LaneServingBase):
             )
             return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
 
+        self._slice_body = fused_slice
+
         def make_fs(i):
             f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
             return lambda v, *a: f(v, *a, self._lut)
@@ -244,7 +266,11 @@ class SingleLaneCodec(LaneServingBase):
     def _fused_flow_single(self, v, y, z_sym, st3, words, byp, is_decode):
         """Drive the fused programs over all slices (one modality).  Each
         slice program returns (y_hat_slice, st3, *groups) — two groups for
-        the ELIC checkerboard schedule, one for the channel-AR schedule."""
+        the ELIC checkerboard schedule, one for the channel-AR schedule.
+        RGBDC_FUSE_SLICES=1 runs the identical flow as ONE executable."""
+        if self._fuse_all:
+            return self._fused_flow_all(v, y, z_sym, st3, words, byp,
+                                        is_decode)
         st3, z, hyper = self._fused_z1(v, st3, words, byp, z_sym, is_decode)
         prev, groups = [], []
         for i in range(len(self.model.slice_ch)):
@@ -255,6 +281,40 @@ class SingleLaneCodec(LaneServingBase):
             prev.append(y_hat_slice)
             groups += list(out[2:])
         return z, groups, prev
+
+    def _fused_flow_all(self, v, y, z_sym, st3, words, byp, is_decode):
+        """Single-program slice flow (RGBDC_FUSE_SLICES=1): the z program
+        and every fused slice body traced into ONE executable — the exact
+        op sequence of the per-slice dispatch loop, so the enc/dec closure
+        is preserved by construction (both directions run this same
+        executable, is_decode branch inside)."""
+        prog = getattr(self, "_fuse_all_prog", None)
+        if prog is None:
+            z_body = self._fused_z_body
+            s_body = self._slice_body
+            nsl = len(self.model.slice_ch)
+
+            @jax.jit
+            def whole(v, y, z_sym, st3, words, byp, is_decode, lut):
+                st3, z, hyper = z_body(
+                    v, st3, words, byp, z_sym, is_decode, lut
+                )
+                prev, groups = [], []
+                for i in range(nsl):
+                    out = s_body(
+                        v, i, tuple(prev), hyper, y, st3, words, byp,
+                        is_decode, lut,
+                    )
+                    prev.append(out[0])
+                    st3 = out[1]
+                    groups.append(list(out[2:]))
+                return z, groups, prev
+
+            prog = self._fuse_all_prog = whole
+        z, groups, prev = prog(
+            v, y, z_sym, st3, words, byp, is_decode, self._lut
+        )
+        return z, [g for gs in groups for g in gs], prev
 
     def _dev_enc_single(self, b, zshape, group_lens):
         """Jitted single-stream device encoder (z + y groups in coding
@@ -281,16 +341,21 @@ class SingleLaneCodec(LaneServingBase):
         self._dev_enc_cache1 = cache
         return fn, all_lens
 
-    def compress_lanes(self, x) -> dict:
+    def compress_lanes(self, x, *cond) -> dict:
         """Encode into the lane-split wire format: ONE stream per image,
         fully on-device (fused stage programs + reverse-scan encoder);
-        only ~stream-sized bytes cross the host link."""
+        only ~stream-sized bytes cross the host link.  ``cond`` is extra
+        conditioning for cascade codecs (MasterLaneCodec: the decoded aux
+        image); plain codecs take none."""
         from .codec import _pack_groups, _start_host_copy, eb_channel_indexes
 
         self._lane_setup()
         v = self.variables
         x = self._put_batch(x)
-        y, z_sym = self._encode_front_srv(v, x)
+        cond = self._put_batch(cond)
+        y, z_sym, side = self._lane_front(v, x, cond)
+        if side is not None:
+            _start_host_copy(side)
         b = x.shape[0]
         st3, zw_, zb_ = self._dummy_lane_inputs(b)
         z2, groups, prev = self._fused_flow_single(
@@ -374,7 +439,10 @@ class SingleLaneCodec(LaneServingBase):
             if esc_info is not None else None
         )
         streams = assemble_lanes_containers_batch(s, wc, words_h, nib_lists)
-        return {"streams": streams, "shape": zshape, "y_hat": y_hat}
+        out = {"streams": streams, "shape": zshape, "y_hat": y_hat}
+        if side is not None:
+            out["side_info"] = self._side_to_host(side)
+        return out
 
     def prepare_decode_lanes_single(self, streams):
         """Parse + upload a batch's lane containers ahead of time (the
@@ -382,7 +450,8 @@ class SingleLaneCodec(LaneServingBase):
         self._lane_setup()
         return self._stack_streams(streams)
 
-    def decompress_lanes(self, streams, shape, prepared=None) -> dict:
+    def decompress_lanes(self, streams, shape, *cond, prepared=None,
+                         side_info=None) -> dict:
         """On-device decode: upload the bitstreams once, then run the SAME
         fused executables compress_lanes drove, with is_decode=True."""
         self._lane_setup()
@@ -392,6 +461,7 @@ class SingleLaneCodec(LaneServingBase):
         if prepared is None:
             prepared = self.prepare_decode_lanes_single(streams)
         st3, words, byp = prepared
+        cond = self._put_batch(cond)
         n = self.model.N
         m = int(sum(self.model.slice_ch))
         z0 = jnp.zeros((b, zh, zw, n), jnp.int32)
@@ -400,7 +470,7 @@ class SingleLaneCodec(LaneServingBase):
             v, y0, z0, st3, words, byp, jnp.asarray(True)
         )
         y_hat = jnp.concatenate(prev, axis=-1)
-        x_hat = self._synth_lane_srv(v, y_hat)
+        x_hat = self._lane_synth(v, y_hat, cond, side_info)
         if isinstance(x_hat, tuple):  # return_mid aux codec: cascade taps
             x_hat, up1, up2, up3 = x_hat
             return {"x_hat": x_hat, "y_hat": y_hat,
@@ -446,6 +516,8 @@ class MlicLaneCodec(SingleLaneCodec):
             )
             return (y_hat_slice, st3, (sym_a, idx_a), (sym_na, idx_na))
 
+        self._slice_body = fused_slice
+
         def make_fs(i):
             f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
             return lambda v, *a: f(v, *a, self._lut)
@@ -453,6 +525,73 @@ class MlicLaneCodec(SingleLaneCodec):
         self._fused_slice1 = {
             i: make_fs(i) for i in range(len(model.slice_ch))
         }
+
+
+class MasterLaneCodec(SingleLaneCodec):
+    """Lane serving for the aux-conditioned master cascade (reference
+    models/elic_master.py:222-387, testing/tester_master.py:109-148).
+
+    The slice schedule is ELIC's own 5-slice/2-phase checkerboard — the
+    fused per-slice programs come straight from ``SingleLaneCodec`` — but
+    the encode front takes the DECODED aux image (emitting beta/gamma side
+    info: 2x64 f16 = 256 B/image on the wire, exactly the compat
+    ``MasterCodec.compress`` accounting) and synthesis is conditioned on
+    the aux image plus the aux decoder's up1..up3 taps.  When the aux
+    ELIC itself serves through the lane path, its decoded image and taps
+    never leave the device: the whole cascade decode is two lane streams
+    plus 256 bytes of side info per image."""
+
+    def _build_serving_front_synth(self, _to16):
+        model = self.model
+        mt = type(model)
+
+        def _front16(v, x, aux):
+            y, z_sym, beta, gamma = model.apply(
+                _to16(v), x.astype(jnp.bfloat16), aux.astype(jnp.bfloat16),
+                method=mt.encode_front_master,
+            )
+            return (y.astype(jnp.float32), z_sym,
+                    beta.astype(jnp.float32), gamma.astype(jnp.float32))
+
+        def _synth16(v, y, aux, beta, gamma, ups):
+            out = model.apply(
+                _to16(v), y.astype(jnp.bfloat16), aux.astype(jnp.bfloat16),
+                beta.astype(jnp.bfloat16), gamma.astype(jnp.bfloat16),
+                *(u.astype(jnp.bfloat16) for u in ups),
+                method=mt.synthesize_master,
+            )
+            return out.astype(jnp.float32)
+
+        # the f32 variants are the jitted programs MasterCodec.__init__
+        # already builds (_encode_front_master / _synth_master)
+        self._front_master_srv = (
+            jax.jit(_front16) if self._bf16_serving
+            else self._encode_front_master
+        )
+        self._synth_master_srv = (
+            jax.jit(_synth16) if self._bf16_serving else self._synth_master
+        )
+
+    def _lane_front(self, v, x, cond):
+        (aux,) = cond
+        y, z_sym, beta, gamma = self._front_master_srv(v, x, aux)
+        return y, z_sym, (beta, gamma)
+
+    def _side_to_host(self, side):
+        beta, gamma = jax.device_get(side)
+        # 2x64 halves = 256 bytes of side info per image, like the compat
+        # wire (codec.py MasterCodec.compress)
+        return (np.asarray(beta).astype(np.float16),
+                np.asarray(gamma).astype(np.float16))
+
+    def _lane_synth(self, v, y_hat, cond, side_info):
+        aux, ups = cond
+        beta, gamma = side_info
+        return self._synth_master_srv(
+            v, y_hat, aux,
+            jnp.asarray(beta, jnp.float32), jnp.asarray(gamma, jnp.float32),
+            tuple(ups),
+        )
 
 
 class CarLaneCodec(SingleLaneCodec):
@@ -483,6 +622,8 @@ class CarLaneCodec(SingleLaneCodec):
                 v, i, sym, mu, prev, hyper, method=mt.slice_reconstruct
             )
             return (y_hat_slice, st3, (sym, idx_i))
+
+        self._slice_body = fused_slice
 
         def make_fs(i):
             f = jax.jit(lambda v, *a: fused_slice(v, i, *a))

@@ -196,9 +196,30 @@ def main():
         "--aux-steps", type=int, default=1500,
         help="ELIC_master only: phase-A steps for the frozen depth-aux ELIC",
     )
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="train the tiny smoke config (utils.config.tiny_model_config) "
+        "— used for the committed CPU-speed rate-integrity checkpoint",
+    )
+    ap.add_argument(
+        "--platform", default="",
+        help="force a jax platform (e.g. cpu — config update AFTER import; "
+        "the axon sitecustomize ignores the env var)",
+    )
     args = ap.parse_args()
 
-    enable_compile_cache()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        # never reuse the persistent cache on CPU: it may hold AOT
+        # artifacts compiled on a host with different ISA features
+        # (SIGILL risk — same rationale as __graft_entry__.dryrun)
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:
+            pass
+    else:
+        enable_compile_cache()
     from rgbdc_tpu.models import build_model
     from rgbdc_tpu.training import (
         create_train_state,
@@ -223,7 +244,12 @@ def main():
         train_master(args, pool)
         return
 
-    cfg = mlic_model_config() if "MLIC" in args.model else model_config()
+    from rgbdc_tpu.utils.config import tiny_model_config
+
+    if args.tiny:
+        cfg = tiny_model_config()
+    else:
+        cfg = mlic_model_config() if "MLIC" in args.model else model_config()
     model = build_model(args.model, cfg, in_ch=None if united else 3)
     tx = make_dual_optimizer(args.lr)
     t0 = time.time()
