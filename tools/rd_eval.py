@@ -168,22 +168,28 @@ def eval_classical(rgb_np, depth_np):
             codec = cls(q)
             agg = {"bpp": [], "psnr": [], "msssim": [],
                    "d_bpp": [], "d_psnr": []}
+            depth_ok = name != "jpeg2000"  # its PIL path is RGB-only
             for i in range(rgb_np.shape[0]):
                 r = codec.run(rgb_np[i])
                 agg["bpp"].append(r["bpp"])
                 agg["psnr"].append(r["psnr"])
-                agg["msssim"].append(r["ms_ssim"])
-                d = codec.run(depth_np[i])
-                agg["d_bpp"].append(d["bpp"])
-                agg["d_psnr"].append(d["psnr"])
-            rows.append({
+                agg["msssim"].append(r["ms-ssim"])
+                if depth_ok:
+                    d = codec.run(depth_np[i])
+                    agg["d_bpp"].append(d["bpp"])
+                    agg["d_psnr"].append(d["psnr"])
+            row = {
                 "model": name, "quality": q,
                 "bpp": round(float(np.mean(agg["bpp"])), 4),
                 "psnr": round(float(np.mean(agg["psnr"])), 2),
                 "msssim": round(float(np.mean(agg["msssim"])), 4),
-                "d_bpp": round(float(np.mean(agg["d_bpp"])), 4),
-                "d_psnr": round(float(np.mean(agg["d_psnr"])), 2),
-            })
+            }
+            if depth_ok:
+                row["d_bpp"] = round(float(np.mean(agg["d_bpp"])), 4)
+                row["d_psnr"] = round(float(np.mean(agg["d_psnr"])), 2)
+            else:
+                row["d_bpp"] = row["d_psnr"] = None
+            rows.append(row)
     return rows
 
 

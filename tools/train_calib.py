@@ -260,8 +260,14 @@ def main():
     if args.resume:
         # params-only resume (checkpoints here are params-only: the FULL
         # train state is ~1.8 GB and takes minutes to pull through the
-        # tunnel; calibration only needs the weights)
-        state = state.replace(params=load_params(args.resume, state.params))
+        # tunnel; calibration only needs the weights).  The widening
+        # loader handles f16 committed exports (load_params would leave
+        # the leaves f16 and poison the optimizer update dtypes).
+        from tools.export_calib import load_calib_params
+
+        state = state.replace(
+            params=jax.device_put(load_calib_params(args.resume, state.params))
+        )
         print(f"resumed params from {args.resume}", flush=True)
 
     if united:
