@@ -1234,6 +1234,8 @@ class UnitedCodec(LaneServingBase):
 
         jfz = jax.jit(fused_z)
         self._fused_z = lambda v, *a: jfz(v, *a, self._lut_r, self._lut_d)
+        self._fused_z_body_u = fused_z
+        self._fused_slice_body_u = fused_slice
 
         def make_fs(i):
             f = jax.jit(lambda v, *a: fused_slice(v, i, *a))
@@ -1253,7 +1255,21 @@ class UnitedCodec(LaneServingBase):
         dispatched and their d2h copies start immediately — the ~40 MB of
         wire tensors cross the link UNDER the remaining slices' compute
         instead of as a 1.6 s serial tail (docs/PERF.md phase table).
-        Returns per-slice packed chunk lists instead of raw group lists."""
+        Returns per-slice packed chunk lists instead of raw group lists.
+
+        RGBDC_FUSE_SLICES=1 (and pack=False, i.e. the device-encode and
+        decode directions): the z program + every fused slice traced into
+        ONE executable — identical op sequence, so the enc/dec closure is
+        preserved by construction; the win is cold-compile time (one big
+        program compiles ~2.5x faster than 11 through the remote-compile
+        tunnel — measured on MLIC, docs/PERF.md round 4) at neutral
+        throughput.  pack=True keeps the per-slice dispatch loop: its
+        overlapped per-slice d2h pulls NEED the program boundaries."""
+        if self._fuse_all and not pack:
+            return self._fused_flow_all_united(
+                v, rgb_y, depth_y, rz_sym, dz_sym,
+                r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
+            )
         r_st3, d_st3, rz, dz, rh, dh = self._fused_z(
             v, r_st3, r_words, r_byp, d_st3, d_words, d_byp, rz_sym, dz_sym,
             is_decode,
@@ -1294,6 +1310,45 @@ class UnitedCodec(LaneServingBase):
                 r_out += [g_ra, g_rna]
                 d_out += [g_da, g_dna]
         return rz, dz, r_out, d_out, r_prev, d_prev
+
+    def _fused_flow_all_united(self, v, rgb_y, depth_y, rz_sym, dz_sym,
+                               r_st3, r_words, r_byp, d_st3, d_words, d_byp,
+                               is_decode):
+        prog = getattr(self, "_fuse_all_prog_u", None)
+        if prog is None:
+            z_body = self._fused_z_body_u
+            s_body = self._fused_slice_body_u
+            nsl = len(self.model.slice_ch)
+
+            @jax.jit
+            def whole(v, rgb_y, depth_y, rz_sym, dz_sym,
+                      r_st3, r_words, r_byp, d_st3, d_words, d_byp,
+                      is_decode, lut_r, lut_d):
+                r_st3, d_st3, rz, dz, rh, dh = z_body(
+                    v, r_st3, r_words, r_byp, d_st3, d_words, d_byp,
+                    rz_sym, dz_sym, is_decode, lut_r, lut_d,
+                )
+                r_prev, d_prev = [], []
+                r_out, d_out = [], []
+                for i in range(nsl):
+                    (r_hat, d_hat, r_st3, d_st3,
+                     g_ra, g_rna, g_da, g_dna) = s_body(
+                        v, i, tuple(r_prev), tuple(d_prev), rh, dh,
+                        rgb_y, depth_y, r_st3, r_words, r_byp,
+                        d_st3, d_words, d_byp, is_decode, lut_r, lut_d,
+                    )
+                    r_prev.append(r_hat)
+                    d_prev.append(d_hat)
+                    r_out += [g_ra, g_rna]
+                    d_out += [g_da, g_dna]
+                return rz, dz, r_out, d_out, r_prev, d_prev
+
+            prog = self._fuse_all_prog_u = whole
+        return prog(
+            v, rgb_y, depth_y, rz_sym, dz_sym,
+            r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
+            self._lut_r, self._lut_d,
+        )
 
     def _device_encode_setup(self, b, zshape, group_lens):
         """Jitted program: concat z + y groups in coding order and run the
