@@ -261,12 +261,23 @@ def write_md(rows, path):
         "",
         "## Reading",
         "",
-        "On this (overfit-calibration) corpus the learned codecs sit well "
-        "left of the JPEG-family anchors at matched PSNR, as expected for "
-        "content-adapted weights; the table's purpose is end-to-end "
-        "multi-rate proof: every row above came through train -> f16 "
-        "export -> quantile fit -> REAL entropy-coded streams -> decode "
-        "bit-exact -> file-size accounting.",
+        "What the table proves is the END-TO-END MULTI-RATE PIPELINE: "
+        "every learned row came through train -> f16 export -> quantile "
+        "fit -> REAL entropy-coded streams -> bit-exact decode -> "
+        "file-size accounting, at three lambda grid points.  Distortion "
+        "is monotone in lambda (ELIC PSNR 32.6 -> 33.6 -> 37.5; flagship "
+        "depth PSNR 27.8 -> 35.5 -> 44.2), and the learned points beat "
+        "the JPEG anchor at matched rate.  What the table does NOT claim: "
+        "competitive RD against the stronger anchors (WebP's low-rate "
+        "points win on this corpus) or against the reference's published "
+        "NYUv2 curves — these calibrations are 4-10k fixture-overfit "
+        "steps against the reference protocol's 400 epochs on NYU5k, and "
+        "the flagship's q6 RGB point evals below its q2 (the jitter-crop "
+        "training distribution generalizes noisily to the clean full-res "
+        "eval at this budget).  Closing that gap is a training-compute "
+        "question, not a framework one: the trainers, losses, lambda "
+        "grid, export path, and serving stack exercised here are the "
+        "production path.",
         "",
     ]
     with open(path, "w") as f:
