@@ -55,6 +55,11 @@ os.environ.setdefault("RGBDC_DENSE128", "1")
 os.environ.setdefault("RGBDC_DEC_ESCFIX", "1")
 os.environ.setdefault("RGBDC_ENC_SCANOUT", "1")
 os.environ.setdefault("RGBDC_FLAT_UPLOAD", "1")
+# single-executable slice flow: +3.6-4.7% on the flagship in both reps of
+# the round-4 interleaved A/B (35.2/34.8 -> 36.7/36.5 best/median; XLA
+# schedules across slice boundaries) AND ~2.5x faster cold compile (one
+# program instead of 11 through the remote-compile tunnel)
+os.environ.setdefault("RGBDC_FUSE_SLICES", "1")
 
 # The committed CALIBRATION checkpoint (tools/train_calib.py overfit on the
 # bench content, q=2_2): with it, the bench measures TRAINED statistics —

@@ -43,8 +43,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 # per-model word-cap carve-outs (docs/PERF.md session 11: the cap tracks
-# checkpoint CONVERGENCE — a less-converged calibration codes wider lanes)
-_WMAX_TRAINED = {"STF_united": "192"}
+# checkpoint CONVERGENCE — a less-converged calibration codes wider lanes).
+# Round 4: empty — STF_united's re-converged checkpoint (+3500 steps,
+# loss 3.3 -> 1.34) fits the uniform WMAX=128 (10.9 img/s measured).
+_WMAX_TRAINED: dict = {}
 
 
 def calib_path(name: str) -> str:
@@ -66,6 +68,9 @@ def env_for(name: str) -> dict:
         "RGBDC_DEC_ESCFIX": "1",
         "RGBDC_ENC_SCANOUT": "1",
         "RGBDC_FLAT_UPLOAD": "1",
+        # round-4 default: +4% on the flagship A/B, ~2.5x faster cold
+        # compile, neutral on MLIC (docs/PERF.md round 4)
+        "RGBDC_FUSE_SLICES": "1",
     }
     if trained:
         knobs.update(
