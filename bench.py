@@ -165,8 +165,10 @@ def main():
     # tools/prof_batch_ab.py: 23.1 -> 25.1 img/s serial; bench 27.7 ->
     # 29.6 back-to-back): the rANS scans are row-bound (row count set by
     # the y/z spatial size, not the batch), so 2x batch amortizes the
-    # scan + dispatch + RTT fixed costs while the convs scale linearly
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # scan + dispatch + RTT fixed costs while the convs scale linearly.
+    # Round 4: 48 > 32 by 3-9% under the fused slice flow (interleaved
+    # 34.9/34.5 -> 37.9/37.9 best/median; 64 exhausts HBM — ROADMAP)
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
     chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
