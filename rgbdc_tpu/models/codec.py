@@ -1257,19 +1257,53 @@ class UnitedCodec(LaneServingBase):
         instead of as a 1.6 s serial tail (docs/PERF.md phase table).
         Returns per-slice packed chunk lists instead of raw group lists.
 
-        RGBDC_FUSE_SLICES=1 (and pack=False, i.e. the device-encode and
-        decode directions): the z program + every fused slice traced into
+        RGBDC_FUSE_SLICES=1: the z program + every fused slice traced into
         ONE executable — identical op sequence, so the enc/dec closure is
         preserved by construction; the win is cold-compile time (one big
         program compiles ~2.5x faster than 11 through the remote-compile
         tunnel — measured on MLIC, docs/PERF.md round 4) at neutral
-        throughput.  pack=True keeps the per-slice dispatch loop: its
-        overlapped per-slice d2h pulls NEED the program boundaries."""
-        if self._fuse_all and not pack:
-            return self._fused_flow_all_united(
+        throughput.  BOTH directions must run this same executable: if the
+        host-encode pack path kept the per-slice programs while decode ran
+        the fused one, cross-program fp jitter could flip quantization
+        boundaries and desync the coder (advisor r4).  So under _fuse_all
+        the pack path runs the fused program too and packs its outputs
+        per slice afterwards — the d2h copies then all start after the one
+        big program instead of overlapping the remaining slices' compute;
+        the chunked pipeline (compress_pipelined / BENCH_CHUNKS) hides
+        that tail under the next chunk's device stages."""
+        if self._fuse_all:
+            out = self._fused_flow_all_united(
                 v, rgb_y, depth_y, rz_sym, dz_sym,
                 r_st3, r_words, r_byp, d_st3, d_words, d_byp, is_decode,
             )
+            if not pack:
+                return out
+            rz, dz, r_flat, d_flat, r_prev, d_prev = out
+            _start_host_copy((rz, dz))
+            r_out, d_out = [], []
+            for i in range(len(self.model.slice_ch)):
+                g_ra, g_rna = r_flat[2 * i], r_flat[2 * i + 1]
+                g_da, g_dna = d_flat[2 * i], d_flat[2 * i + 1]
+                if self._pull_mode == "sym5idx":
+                    r_out.append(
+                        (_start_host_copy(_pack_groups_i8_idx([g_ra, g_rna])),
+                         (g_ra, g_rna))
+                    )
+                    d_out.append(
+                        (_start_host_copy(_pack_groups_i8_idx([g_da, g_dna])),
+                         (g_da, g_dna))
+                    )
+                else:
+                    mode = self._floor_row
+                    r_out.append(
+                        (_start_host_copy(_pack_groups_i8([g_ra, g_rna], mode)),
+                         (g_ra, g_rna))
+                    )
+                    d_out.append(
+                        (_start_host_copy(_pack_groups_i8([g_da, g_dna], mode)),
+                         (g_da, g_dna))
+                    )
+            return rz, dz, r_out, d_out, r_prev, d_prev
         r_st3, d_st3, rz, dz, rh, dh = self._fused_z(
             v, r_st3, r_words, r_byp, d_st3, d_words, d_byp, rz_sym, dz_sym,
             is_decode,

@@ -209,6 +209,12 @@ class SingleLaneCodec(LaneServingBase):
         """(y, z_sym, side-info-or-None) for the encode direction; ``cond``
         is the extra conditioning the public signature threads through
         (empty for plain single-latent codecs)."""
+        if cond:
+            raise TypeError(
+                f"{type(self).__name__} takes no conditioning inputs "
+                f"(got {len(cond)}); only cascade codecs "
+                "(MasterLaneCodec) accept cond"
+            )
         y, z_sym = self._encode_front_srv(v, x)
         return y, z_sym, None
 

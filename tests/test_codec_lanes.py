@@ -357,6 +357,44 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    def test_fuse_slices_host_encode_shared_program(self, monkeypatch):
+        """FUSE_SLICES=1 with HOST encode (RGBDC_DEVICE_ENCODE=0, the
+        library default): the pack path must run the same single fused
+        executable the decoder runs (advisor r4 — per-slice encode
+        programs against a fused decode program would break the
+        shared-stage-program invariant).  Streams must stay byte-identical
+        to the per-slice host-encode flow and decode bit-exactly."""
+        monkeypatch.delenv("RGBDC_DEVICE_ENCODE", raising=False)
+        import jax
+        import jax.numpy as jnp
+
+        from rgbdc_tpu.models import ELICUnited, UnitedCodec
+
+        model = ELICUnited(N=16, M=24, slice_ch=(8, 16))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128, 1)),
+            training=True,
+        )
+        rng = np.random.default_rng(13)
+        rgb = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(size=(2, 128, 128, 1)), jnp.float32)
+        ref = UnitedCodec(model, v).compress_lanes(rgb, depth)
+        monkeypatch.setenv("RGBDC_FUSE_SLICES", "1")
+        codec = UnitedCodec(model, v)
+        out = codec.compress_lanes(rgb, depth)
+        assert out["r_streams"] == ref["r_streams"]
+        assert out["d_streams"] == ref["d_streams"]
+        dec = codec.decompress_lanes(
+            out["r_streams"], out["d_streams"], out["shape"]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["r"]), np.asarray(out["y_hat"]["r"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
+        )
+
     def test_scan_out_streams_byte_identical(self, monkeypatch):
         """RGBDC_ENC_SCANOUT=1 (scan-output encoder: tiny carry + one
         post-scan compaction scatter) must produce byte-identical streams

@@ -188,7 +188,8 @@ def eval_classical(rgb_np, depth_np):
                 row["d_bpp"] = round(float(np.mean(agg["d_bpp"])), 4)
                 row["d_psnr"] = round(float(np.mean(agg["d_psnr"])), 2)
             else:
-                row["d_bpp"] = row["d_psnr"] = None
+                # RGB-only PIL path (JPEG2000): no depth-modal datapoint
+                row["d_bpp"] = row["d_psnr"] = "n/a (RGB-only PIL path)"
             rows.append(row)
     return rows
 
