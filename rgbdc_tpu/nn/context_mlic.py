@@ -83,22 +83,41 @@ class LocalContext(nn.Module):
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim**-0.5
+        p = k // 2
 
         xn = nn.LayerNorm()(x)
         qkv = nn.Dense(3 * c)(xn)  # [B,H,W,3C]
         q, kk, v = jnp.split(qkv, 3, axis=-1)
-        qw = _extract_windows(q, k)  # [B,H,W,n,C]
-        kw = _extract_windows(kk, k)
-        vw = _extract_windows(v, k)
 
-        def heads_split(t):
-            return t.reshape(b, h, w, n, heads, head_dim).transpose(0, 1, 2, 4, 3, 5)
+        # Spatial-minor (channel-first) layout: every large tensor from here
+        # on keeps the H*W axis minor so TPU (8,128) tiling pads ~1.3x.  The
+        # previous [B,H,W,heads,n,n]/[...,n,heads,d] 6-D layout put the tiny
+        # (25,25)/(2,16) dims in the tiled minors — up to 128x padding, the
+        # round-4 batch-32 OOM and the MLIC serving floor (docs/PERF.md).
+        def cf_windows(t):
+            # [B,H,W,C] -> [B,heads,d,n,H*W] zero-padded 25-neighborhoods
+            tc = t.reshape(b, h, w, heads, head_dim).transpose(0, 3, 4, 1, 2)
+            tp = jnp.pad(tc, ((0, 0), (0, 0), (0, 0), (p, p), (p, p)))
+            sh = [
+                tp[..., di : di + h, dj : dj + w]
+                for di in range(k)
+                for dj in range(k)
+            ]
+            return jnp.stack(sh, axis=3).reshape(b, heads, head_dim, n, h * w)
 
-        qh, kh, vh = heads_split(qw), heads_split(kw), heads_split(vw)
-        attn = jnp.einsum(
-            "bhwmid,bhwmjd->bhwmij", qh * scale, kh,
-            preferred_element_type=jnp.float32,
-        )  # [B,H,W,heads,n,n]
+        qw = cf_windows(q * scale)
+        kw = cf_windows(kk)
+        vw = cf_windows(v)
+
+        # attn[b,m,i,j,l] = sum_d q[b,m,d,i,l] * k[b,m,d,j,l] — an explicit
+        # broadcast-multiply-reduce (VPU), NOT an einsum: dot_general would
+        # make the spatial axis a batch dim and tile n x n matmuls on the MXU
+        # with 5x+ padding.
+        attn = jnp.sum(
+            qw[:, :, :, :, None, :] * kw[:, :, :, None, :, :],
+            axis=2,
+            dtype=jnp.float32,
+        )  # [B,heads,n,n,HW]
 
         table = self.param(
             "relative_position_table",
@@ -109,18 +128,26 @@ class LocalContext(nn.Module):
 
         rel_idx = jnp.asarray(_relative_position_index(k).reshape(-1))
         bias = table[rel_idx].reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None, None, None]
+        attn = attn + bias[:, :, :, None]
 
-        par = _window_parity_mask(h, w, k)  # [H,W,n]
-        pair = par[..., :, None] * par[..., None, :]  # [H,W,n,n]
-        mask = np.where(pair == 1.0, 0.0, -100.0).astype(np.float32)
-        attn = attn + jnp.asarray(mask)[None, :, :, None]
-
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bhwmij,bhwmjd->bhwmid", attn, vh, preferred_element_type=jnp.float32
+        par = _window_parity_mask(h, w, k).reshape(h * w, n)  # [HW,n]
+        pair = par[:, :, None] * par[:, None, :]  # [HW,n,n]
+        mask = (
+            np.where(pair == 1.0, 0.0, -100.0)
+            .astype(np.float32)
+            .transpose(1, 2, 0)  # [n,n,HW]
         )
-        out = out.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, n * c)
+        attn = attn + jnp.asarray(mask)[None, None]
+
+        attn = jax.nn.softmax(attn, axis=3)
+        # out[b,m,d,i,l] = sum_j attn[b,m,i,j,l] * v[b,m,d,j,l]
+        out = jnp.sum(
+            attn[:, :, None, :, :, :] * vw[:, :, :, None, :, :],
+            axis=4,
+            dtype=jnp.float32,
+        )  # [B,heads,d,n,HW]
+        # flatten order (n, heads, d) matches the feature-minor reference
+        out = out.transpose(0, 4, 3, 1, 2).reshape(b, h, w, n * c)
         # dense fusion over the window (== the reference's valid 5x5 conv)
         out = nn.Dense(2 * c)(out)
         out = nn.Dense(2 * c)(out)  # proj

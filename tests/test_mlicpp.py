@@ -48,6 +48,74 @@ class TestMLIC:
             np.asarray(d["x_hat"]), np.asarray(fwd["x_hat"]), rtol=1e-3, atol=1e-3
         )
 
+    def test_local_context_matches_feature_minor_reference(self, mlic_setup, rng):
+        """The spatial-minor (channel-first) LocalContext layout (round 5,
+        the MLIC serving-floor fix) must be numerically equivalent to the
+        original feature-minor einsum formulation — same params, same math,
+        only tensor layouts changed."""
+        from rgbdc_tpu.nn.context_mlic import (
+            _extract_windows,
+            _window_parity_mask,
+        )
+        from rgbdc_tpu.nn.swin import _relative_position_index
+
+        model, v = mlic_setup
+        y = jnp.asarray(rng.normal(size=(2, 6, 8, 8)), dtype=jnp.float32)
+
+        def lc(params, t):
+            return model.apply(params, t, method=lambda m, t: m.local_context[0](t))
+
+        got = np.asarray(lc(v, y))
+
+        # reference path: the pre-round-5 [B,H,W,heads,n,n] einsum math,
+        # using the live module's params
+        scope = v["params"]["local_context_0"]
+        b, h, w, c = y.shape
+        k, heads = 5, 2
+        n, hd = k * k, c // heads
+        ln = scope["LayerNorm_0"]
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        xn = (y - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        qkv = xn @ scope["Dense_0"]["kernel"] + scope["Dense_0"]["bias"]
+        q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        qw, kw, vw = (_extract_windows(t, k) for t in (q, kk, vv))
+
+        def hs(t):
+            return t.reshape(b, h, w, n, heads, hd).transpose(0, 1, 2, 4, 3, 5)
+
+        attn = jnp.einsum(
+            "bhwmid,bhwmjd->bhwmij", hs(qw) * hd**-0.5, hs(kw),
+            preferred_element_type=jnp.float32,
+        )
+        rel = jnp.asarray(_relative_position_index(k).reshape(-1))
+        bias = scope["relative_position_table"][rel].reshape(n, n, heads)
+        attn = attn + bias.transpose(2, 0, 1)[None, None, None]
+        par = _window_parity_mask(h, w, k)
+        pair = par[..., :, None] * par[..., None, :]
+        attn = attn + jnp.asarray(
+            np.where(pair == 1.0, 0.0, -100.0).astype(np.float32)
+        )[None, :, :, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhwmij,bhwmjd->bhwmid", attn, hs(vw),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, n * c)
+        out = out @ scope["Dense_1"]["kernel"] + scope["Dense_1"]["bias"]
+        out = out @ scope["Dense_2"]["kernel"] + scope["Dense_2"]["bias"]
+        ln1 = scope["LayerNorm_1"]
+        mu = out.mean(-1, keepdims=True)
+        var = ((out - mu) ** 2).mean(-1, keepdims=True)
+        res = (out - mu) * jax.lax.rsqrt(var + 1e-6) * ln1["scale"] + ln1["bias"]
+        res = res @ scope["Dense_3"]["kernel"] + scope["Dense_3"]["bias"]
+        from rgbdc_tpu.ops.math import exact_gelu
+
+        res = exact_gelu(res)
+        res = res @ scope["Dense_4"]["kernel"] + scope["Dense_4"]["bias"]
+        want = np.asarray(out + res)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
     def test_local_context_mask_anchor_only(self, mlic_setup, rng):
         """LocalContext output must ignore non-anchor inputs (checkerboard
         attention mask) when fed a mixed plane."""
