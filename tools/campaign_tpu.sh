@@ -1,12 +1,11 @@
 #!/bin/bash
 # One-shot measurement campaign for when the TPU tunnel returns.
-# Runs every staged A/B + the Pallas probe + the scan trace, sequentially
-# (tunnel discipline: interleaved A/B inside each script, nothing
-# concurrent), logging to $OUT.  Continues past failures — a lowering
-# failure is a RESULT.
+# Runs the staged knob A/Bs + a decode-flow trace via tools/prof.py,
+# sequentially (tunnel discipline: interleaved A/B inside each run,
+# nothing concurrent), logging to $OUT.  Continues past failures.
 #
 #   bash tools/campaign_tpu.sh            # full sequence
-#   STEPS="probe stack" bash tools/campaign_tpu.sh   # subset
+#   STEPS="trace bench" bash tools/campaign_tpu.sh   # subset
 set -u
 cd "$(dirname "$0")/.."
 # Prepend (never overwrite) PYTHONPATH: the axon PJRT plugin lives on the
@@ -25,18 +24,23 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- $name rc=$rc" | tee -a "$OUT/summary.log"
 }
 
-STEPS=${STEPS:-"trace probe escfix scanout flat flow16 dense stack bench"}
+STEPS=${STEPS:-"trace phases escfix scanout flat flow16 bench"}
 
 for s in $STEPS; do
   case $s in
     trace)
-      # attribute the XLA decode scan's ~190 us/row (run FIRST per ROADMAP)
-      run trace 1800 python tools/prof_scan_trace.py ;;
-    probe)
-      # Mosaic lowering + ns/sym for the Pallas kernels vs the XLA scan
-      run probe 2400 python tools/probe_pallas.py ;;
-    escfix|scanout|flat|flow16|dense|stack)
-      run "knob_$s" 2400 env KNOB=$s python tools/prof_knobs_ab.py ;;
+      run trace 1800 python tools/prof.py trace --phase dec_flow ;;
+    phases)
+      run phases 2400 python tools/prof.py phases ;;
+    escfix)
+      run knob_escfix 2400 python tools/prof.py ab --on RGBDC_DEC_ESCFIX=1 ;;
+    scanout)
+      run knob_scanout 2400 python tools/prof.py ab --on RGBDC_ENC_SCANOUT=1 ;;
+    flat)
+      run knob_flat 2400 python tools/prof.py ab --on RGBDC_FLAT_UPLOAD=1 ;;
+    flow16)
+      run knob_flow16 2400 python tools/prof.py ab --on RGBDC_BF16_FLOW=1 \
+          --no-byte-check ;;
     bench)
       run bench 2400 python bench.py ;;
     *) echo "unknown step $s" ;;
