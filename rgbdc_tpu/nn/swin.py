@@ -80,9 +80,18 @@ class WindowAttention(nn.Module):
         scale = head_dim**-0.5
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias)(x)
-        qkv = qkv.reshape(nb, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+        # Spatial-minor (window-count-minor) attention: [nB, heads, n, n]
+        # tensors put the tiny (n, n) = (16, 16) dims in the TPU (8,128)
+        # tiled minors — 8x lane padding and thousands of padded micro
+        # matmuls (the same failure mode as MLIC's LocalContext, fixed in
+        # round 5; docs/PERF.md).  Keep the huge nB axis minor instead and
+        # do the contractions as broadcast-multiply-reduces on the VPU.
+        qkv = qkv.reshape(nb, n, 3, heads, head_dim).transpose(2, 3, 4, 1, 0)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [heads, d, n, nB]
+        attn = jnp.sum(
+            q[:, :, :, None, :] * k[:, :, None, :, :], axis=1,
+            dtype=jnp.float32,
+        )  # [heads, n, n, nB]
 
         table = self.param(
             "relative_position_table",
@@ -91,15 +100,18 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_relative_position_index(self.window).reshape(-1))
         bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn + bias[..., None]
 
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, heads, n, n) + mask[None, :, None]
-            attn = attn.reshape(nb, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+            attn = attn.reshape(heads, n, n, nb // nw, nw)
+            attn = attn + jnp.asarray(mask).transpose(1, 2, 0)[:, :, None]
+            attn = attn.reshape(heads, n, n, nb)
+        attn = jax.nn.softmax(attn, axis=2)
+        out = jnp.sum(
+            attn[:, None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
+        )  # [heads, d, n, nB]
+        out = out.transpose(3, 2, 0, 1).reshape(nb, n, c)
         return nn.Dense(c)(out)
 
 

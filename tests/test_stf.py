@@ -43,6 +43,45 @@ class TestSwinPrimitives:
         z = ps.apply(v2, y)
         assert z.shape == (1, 8, 8, 16)
 
+    def test_window_attention_matches_feature_minor_reference(self, rng):
+        """The spatial-minor WindowAttention layout (round 5 — the MLIC
+        LocalContext lesson applied to the swin stack) must be numerically
+        equivalent to the original feature-minor einsum formulation, with
+        and without the shift mask."""
+        from rgbdc_tpu.nn.swin import (
+            WindowAttention,
+            _relative_position_index,
+            _shift_attn_mask,
+        )
+
+        heads, w, c = 2, 4, 16
+        n = w * w
+        x = jnp.asarray(rng.normal(size=(6, n, c)), dtype=jnp.float32)
+        wa = WindowAttention(c, num_heads=heads, window=w)
+        v = wa.init(jax.random.PRNGKey(0), x)
+        mask = _shift_attn_mask(8, 12, w, 2)  # nW = 6
+
+        for m in (None, mask):
+            got = np.asarray(wa.apply(v, x, m))
+            p = v["params"]
+            qkv = x @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"]
+            qkv = qkv.reshape(6, n, 3, heads, c // heads).transpose(2, 0, 3, 1, 4)
+            q, k, vv = qkv[0] * (c // heads) ** -0.5, qkv[1], qkv[2]
+            attn = jnp.einsum("bhid,bhjd->bhij", q, k,
+                              preferred_element_type=jnp.float32)
+            idx = jnp.asarray(_relative_position_index(w).reshape(-1))
+            bias = p["relative_position_table"][idx].reshape(n, n, heads)
+            attn = attn + bias.transpose(2, 0, 1)[None]
+            if m is not None:
+                attn = attn.reshape(1, 6, heads, n, n) + jnp.asarray(m)[None, :, None]
+                attn = attn.reshape(6, heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, vv,
+                             preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3).reshape(6, n, c)
+            want = np.asarray(out @ p["Dense_1"]["kernel"] + p["Dense_1"]["bias"])
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
     def test_shifted_block_runs(self, rng):
         from rgbdc_tpu.nn.swin import SwinBlock
 
