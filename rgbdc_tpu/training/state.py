@@ -35,21 +35,26 @@ def create_train_state(model, rng, example_batch, tx) -> TrainState:
 
 def make_train_step(model, loss_fn: Callable, donate: bool = True,
                     plateau: bool = False):
-    """loss_fn(output, *batch) -> dict with 'loss'.
+    """loss_fn(output, *batch, *extra) -> dict with 'loss'.
 
     plateau is accepted for API symmetry with make_dual_optimizer; the
     plateau LR decision itself happens once per epoch in the trainer
     (optimizers.ReduceLROnPlateau + set_plateau_scale), not per step.
-    Returns step(state, batch, rng) -> (state, metrics).
+    Returns step(state, batch, rng, *extra) -> (state, metrics).
+
+    ``extra`` (optional, e.g. the RD lambda as a jnp scalar) is traced, so
+    one compiled step serves every value — a loss closing over a python
+    lambda bakes it into the HLO as a constant and misses the compile
+    cache at every grid point (tools/train_rd_queue.sh pain point, r4).
     """
     del plateau
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, *extra):
         def total_loss(params):
             out = model.apply(
                 {"params": params}, *batch, training=True, rngs={"noise": rng}
             )
-            rd = loss_fn(out, *batch)
+            rd = loss_fn(out, *batch, *extra)
             aux = model.apply({"params": params}, method=type(model).aux_loss)
             return rd["loss"] + aux, (rd, aux)
 

@@ -66,16 +66,18 @@ def fixture_images():
     return np.stack(rgbs), np.stack(depths)
 
 
-def eval_united(ckpt, quality, rgb_np, depth_np):
+def eval_united(ckpt, quality, rgb_np, depth_np, model_name="ELIC_united"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from rgbdc_tpu.eval.metrics import compute_metrics
-    from rgbdc_tpu.models import ELICUnited, UnitedCodec
+    from rgbdc_tpu.models import UnitedCodec, build_model
+    from rgbdc_tpu.utils.config import model_config
+
     from tools.export_calib import load_calib_params_device
 
-    model = ELICUnited()
+    model = build_model(model_name, model_config())
     abstract = jax.eval_shape(
         lambda: model.init(
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
@@ -101,7 +103,7 @@ def eval_united(ckpt, quality, rgb_np, depth_np):
     r_psnr, r_ms = compute_metrics(dec["x_hat"]["r"], rgb)
     d_psnr, d_ms = compute_metrics(dec["x_hat"]["d"], depth)
     return {
-        "model": "ELIC_united", "quality": quality,
+        "model": model_name, "quality": quality,
         "lambda": LAMBDAS[int(quality[1:])],
         "r_bpp": round(r_bpp, 4), "d_bpp": round(d_bpp, 4),
         "r_psnr": round(r_psnr, 2), "r_msssim": round(r_ms, 4),
@@ -198,10 +200,11 @@ def write_md(rows, path):
     """docs/RD.md: the multi-lambda calibration RD table with classical
     anchors (VERDICT r3 task 1)."""
     learned_u = [r for r in rows if r["model"] == "ELIC_united"]
+    learned_su = [r for r in rows if r["model"] == "STF_united"]
     learned_e = [r for r in rows if r["model"] == "ELIC"]
     classical = [r for r in rows if r["model"] in ("jpeg", "webp", "jpeg2000")]
     lines = [
-        "# Rate-distortion evidence (round 4)",
+        "# Rate-distortion evidence (round 5)",
         "",
         "Multi-lambda calibration sweep on the committed fixture corpus "
         "(3 photographic RGB-D images at 640x512 — the bench content "
@@ -214,11 +217,11 @@ def write_md(rows, path):
         "mounted in this environment, so these are fixture-overfit "
         "calibration points at the reference lambda grid "
         "(`utils/rd_loss.py:15`) — they demonstrate the full multi-rate "
-        "pipeline (train -> export -> serve -> RD-account at 3 rate "
-        "points), not NYUv2 generalization.  Produced by "
+        "pipeline (train -> export -> serve -> RD-account across the "
+        "grid), not NYUv2 generalization.  Produced by "
         "`tools/rd_eval.py` (protocol + accounting there).",
         "",
-        "## ELIC_united (flagship, RGB-D) — reference lambda grid q0/q2/q6",
+        "## ELIC_united (flagship, RGB-D) — reference lambda grid",
         "",
         "| q | lambda | RGB bpp | RGB PSNR | RGB MS-SSIM | D bpp | D PSNR | D MS-SSIM |",
         "|---|---|---|---|---|---|---|---|",
@@ -229,6 +232,22 @@ def write_md(rows, path):
             f"{r['r_psnr']} | {r['r_msssim']} | {r['d_bpp']} | "
             f"{r['d_psnr']} | {r['d_msssim']} |"
         )
+    if learned_su:
+        lines += [
+            "",
+            "## STF_united (swin united, RGB-D) — multi-rate "
+            "(VERDICT r4 task 4)",
+            "",
+            "| q | lambda | RGB bpp | RGB PSNR | RGB MS-SSIM | D bpp "
+            "| D PSNR | D MS-SSIM |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in learned_su:
+            lines.append(
+                f"| {r['quality']} | {r['lambda']} | {r['r_bpp']} | "
+                f"{r['r_psnr']} | {r['r_msssim']} | {r['d_bpp']} | "
+                f"{r['d_psnr']} | {r['d_msssim']} |"
+            )
     lines += [
         "",
         "## ELIC (single-modality RGB)",
@@ -300,16 +319,19 @@ def main():
     rgb_np, depth_np = fixture_images()
     rows = []
     if not args.skip_learned:
-        for q in ("q0", "q2", "q6"):
-            for stem, fn in (("elic_united", eval_united), ("ELIC", eval_single)):
+        for q in [f"q{i}" for i in range(8)]:
+            for stem, model_name in (
+                ("elic_united", "ELIC_united"),
+                ("STF_united", "STF_united"),
+                ("ELIC", "ELIC"),
+            ):
                 ck = os.path.join(_REPO, "calib", f"{stem}_{q}.f16.msgpack")
                 if not os.path.exists(ck):
-                    # round-3 naming for the flagship q2 artifact
                     continue
-                if fn is eval_united:
-                    row = fn(ck, q, rgb_np, depth_np)
+                if model_name == "ELIC":
+                    row = eval_single(ck, q, rgb_np)
                 else:
-                    row = fn(ck, q, rgb_np)
+                    row = eval_united(ck, q, rgb_np, depth_np, model_name)
                 rows.append(row)
                 print(json.dumps(row), flush=True)
     if not args.skip_classical:
