@@ -253,11 +253,16 @@ def main():
         # is client-side); a 1-element fetch is the only honest barrier
         np.asarray(arr[:1, :1, :1, :1])
 
-    # warmup (compiles everything)
+    # warmup (compiles everything; per-phase prints attribute the cold path)
     t0 = time.time()
     out = compress(rgb, depth)
+    print(f"warmup/compress (front+flow+encode compile): "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    t1 = time.time()
     dec = decompress(out["r_strings"], out["d_strings"], out["shape"])
     sync(dec["x_hat"]["r"])
+    print(f"warmup/decompress (upload+synth compile): "
+          f"{time.time()-t1:.1f}s", file=sys.stderr)
     if wire == "lanes":
         # second compress: the auto pull tuner may have switched formats
         # after seeing live indexes (codec._pull_mode) — its jits must

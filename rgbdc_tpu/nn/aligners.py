@@ -120,13 +120,17 @@ class _CrossWindowAttention(nn.Module):
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim**-0.5
-        q = nn.Dense(c)(x).reshape(nb, n, heads, head_dim).transpose(0, 2, 1, 3)
+        # spatial-minor layout, same rationale as swin.WindowAttention
+        # (round 5): keep the huge window-count axis in the tiled minor
+        q = nn.Dense(c)(x).reshape(nb, n, heads, head_dim)
+        q = q.transpose(2, 3, 1, 0)  # [heads, d, n, nB]
         kv = nn.Dense(2 * c)(guide).reshape(nb, n, 2, heads, head_dim)
-        kv = kv.transpose(2, 0, 3, 1, 4)
+        kv = kv.transpose(2, 3, 4, 1, 0)  # [2, heads, d, n, nB]
         k, v = kv[0], kv[1]
-        attn = jnp.einsum(
-            "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
-        )
+        attn = jnp.sum(
+            (q * scale)[:, :, :, None, :] * k[:, :, None, :, :], axis=1,
+            dtype=jnp.float32,
+        )  # [heads, n, n, nB]
         table = self.param(
             "relative_position_table",
             nn.initializers.truncated_normal(0.02),
@@ -134,16 +138,17 @@ class _CrossWindowAttention(nn.Module):
         )
         idx = jnp.asarray(_relative_position_index(self.window).reshape(-1))
         bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn + bias[..., None]
         if mask is not None:
             nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, heads, n, n) + mask[None, :, None]
-            attn = attn.reshape(nb, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+            attn = attn.reshape(heads, n, n, nb // nw, nw)
+            attn = attn + jnp.asarray(mask).transpose(1, 2, 0)[:, :, None]
+            attn = attn.reshape(heads, n, n, nb)
+        attn = jax.nn.softmax(attn, axis=2)
+        out = jnp.sum(
+            attn[:, None] * v[:, :, None, :, :], axis=3, dtype=jnp.float32
+        )  # [heads, d, n, nB]
+        out = out.transpose(3, 2, 0, 1).reshape(nb, n, c)
         return nn.Dense(c)(out)
 
 

@@ -69,8 +69,20 @@ def main():
         v = sym.astype(np.int64) - off
         return float(np.mean((v < 0) | (v >= maxv)))
 
-    out = {}
-    for name, sym, idx in (("r", r_sym, r_idx), ("d", d_sym, d_idx)):
+    def z_esc(z_sym, eb_table):
+        """EB (z-stream) escape rate: symbols outside the quantile-derived
+        pmf support (+RGBDC_EB_MARGIN) divert to the bypass sideband —
+        the q6 depth leak of VERDICT r4 weak #3."""
+        c = z_sym.shape[-1]
+        off = eb_table.offset[:c]
+        maxv = eb_table.cdf_length[:c] - 2
+        v = z_sym.astype(np.int64) - off
+        return float(np.mean((v < 0) | (v >= maxv)))
+
+    out = {"eb_margin": int(os.environ.get("RGBDC_EB_MARGIN", "2"))}
+    for (name, sym, idx), z in (
+        (("r", r_sym, r_idx), rz), (("d", d_sym, d_idx), dz)
+    ):
         hist = np.bincount(idx.reshape(-1), minlength=64)
         top = np.argsort(hist)[::-1][:5]
         out[name] = {
@@ -80,6 +92,15 @@ def main():
             "idx_distinct": int((hist > 0).sum()),
             "idx_top5": {int(i): float(hist[i] / idx.size) for i in top},
             "esc_rate_y": esc_rate(sym, idx, codec.tables.gc),
+            "esc_rate_z": z_esc(
+                z, codec.tables.eb[f"{'rgb' if name == 'r' else 'depth'}"
+                                   "_entropy_bottleneck"]
+            ),
+            "esc_count_z": int(round(
+                z_esc(z, codec.tables.eb[
+                    f"{'rgb' if name == 'r' else 'depth'}_entropy_bottleneck"
+                ]) * z.size
+            )),
         }
     comp = codec.compress_lanes(rgb, depth)
     out["stream_bytes_per_img"] = {
