@@ -255,6 +255,14 @@ def main():
 
     # warmup (compiles everything; per-phase prints attribute the cold path)
     t0 = time.time()
+    if wire == "lanes" and os.environ.get("BENCH_PARWARM", "1") == "1":
+        # parallel program compilation (cold-start lever: the smaller
+        # serving programs compile on worker threads while the main thread
+        # compiles the fused slice-flow executable — remote-compile round
+        # trips pipeline instead of serializing)
+        codec.warm_serving(batch, (rgb.shape[1], rgb.shape[2]))
+        print(f"warmup/parallel-compile: {time.time()-t0:.1f}s",
+              file=sys.stderr)
     out = compress(rgb, depth)
     print(f"warmup/compress (front+flow+encode compile): "
           f"{time.time()-t0:.1f}s", file=sys.stderr)

@@ -1433,6 +1433,73 @@ class UnitedCodec(LaneServingBase):
         self._dev_enc_cache = cache
         return fn, all_lens
 
+    def warm_serving(self, batch: int, image_hw=(512, 640)) -> None:
+        """Compile the serving executables with maximal overlap (cold-start
+        lever, VERDICT r4 task 5).
+
+        A first roundtrip compiles the four dominant programs SERIALLY —
+        encode front, the fused slice-flow executable, the device-encode
+        scans, synthesis — each paying its own remote-compile round trip
+        (the MLIC fuse lesson: per-program overhead through the tunnel is
+        tens of seconds, docs/PERF.md round 4).  This drives each program
+        once with zero inputs at the REAL serving signatures, the three
+        smaller ones on worker threads while the main thread compiles the
+        fused executable: tracing interleaves on the GIL, but the XLA
+        compile RPCs (GIL-released) pipeline.  The jit caches then make
+        the first real roundtrip compile-free.  A signature mismatch here
+        is a soft failure (that program just compiles again on first real
+        use)."""
+        self._lane_setup()
+        v = self.variables
+        h, w = image_hw
+        b = batch
+        yh, yw, zh, zw = h // 16, w // 16, h // 64, w // 64
+        n, m = self.model.N, self.model.M
+        y0 = jnp.zeros((b, yh, yw, m), jnp.float32)
+        z0 = jnp.zeros((b, zh, zw, n), jnp.int32)
+        st3, zwords, zbyp = self._dummy_lane_inputs(b)
+
+        def block(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+                    return
+
+        def warm_front():
+            block(self._encode_front_srv(
+                v, jnp.zeros((b, h, w, 3)), jnp.zeros((b, h, w, 1))
+            ))
+
+        def warm_synth():
+            block(self._synth_srv(v, y0, y0))
+
+        def warm_encode():
+            # the group wire tensors of the fused flow: per slice, anchor +
+            # nonanchor (sym i16, idx u8) in the checkerboard-squeeze
+            # layout [B, yh, yw/2, c]
+            def g(c):
+                sh = (b, yh, yw // 2, c)
+                return (jnp.zeros(sh, jnp.int16), jnp.zeros(sh, jnp.uint8))
+
+            rg = [g(c) for c in self.model.slice_ch for _ in range(2)]
+            dg = [g(c) for c in self.model.slice_ch for _ in range(2)]
+            y_lens = [int(np.prod(t[0].shape[1:])) for t in rg]
+            enc_fn, _ = self._device_encode_setup(b, (zh, zw), y_lens)
+            block(enc_fn(z0, z0, rg, dg))
+
+        workers = [warm_front, warm_synth]
+        if os.environ.get("RGBDC_DEVICE_ENCODE", "0") == "1":
+            workers.append(warm_encode)
+        pool = ThreadPoolExecutor(len(workers))
+        futs = [pool.submit(f) for f in workers]
+        block(self._fused_flow(
+            v, y0, y0, z0, z0, st3, zwords, zbyp, st3, zwords, zbyp,
+            jnp.asarray(False),
+        ))
+        for f in futs:
+            f.result()
+        pool.shutdown(wait=False)
+
     def compress_lanes(self, rgb, depth) -> dict:
         """Encode into the lane-split wire format (one stream per modality
         per image).  Default path (RGBDC_DEVICE_ENCODE=0): the fused flow
