@@ -47,6 +47,7 @@ class TestArgSurface:
 
 
 class TestTrainerFit:
+    @pytest.mark.full
     def test_single_modal_fit_smoke(self, tmp_path, monkeypatch):
         """One debug epoch of TrainerSingle on tiny synthetic data: the fit
         loop trains, validates, and writes latest/best checkpoints."""

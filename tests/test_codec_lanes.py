@@ -5,6 +5,7 @@ bit-exact closure), and the lane path must reconstruct the same images as
 the compat (host-serial) path."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,6 +99,7 @@ class TestLaneCodec:
             np.asarray(dec_lane["x_hat"]["d"]), np.asarray(dec_compat["x_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_bf16_serving_path(self, monkeypatch):
         """RGBDC_BF16=1 runs analysis-front and synthesis in bfloat16 (the
         serving fast path, ~20-25% off the conv stages).  The enc/dec
@@ -130,6 +132,7 @@ class TestLaneCodec:
         # pins the trained-checkpoint delta) — this is a loose sanity bound
         assert rms < 0.05, rms
 
+    @pytest.mark.full
     def test_bf16_flow_path(self, monkeypatch):
         """RGBDC_BF16_FLOW=1 runs the fused entropy-parameter stage
         programs (context/aggregation convs + hyper decode) in bfloat16.
@@ -156,6 +159,7 @@ class TestLaneCodec:
         rms = float(np.sqrt(np.mean(diff**2)))
         assert rms < 0.05, rms
 
+    @pytest.mark.full
     def test_escfix_decode_roundtrip(self, monkeypatch):
         """RGBDC_DEC_ESCFIX=1 strips the escape while_loop out of the
         decode scan (values reconstructed in the per-ordinal post-pass).
@@ -179,6 +183,7 @@ class TestLaneCodec:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_flat_upload_roundtrip(self, monkeypatch):
         """RGBDC_FLAT_UPLOAD=1 uploads each stream's words/nibbles as one
         lane-major flat array (the container's native payload order) and
@@ -204,6 +209,7 @@ class TestLaneCodec:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_onehot_wfetch_roundtrip(self, monkeypatch):
         """RGBDC_DEC_WFETCH=onehot replaces the in-scan renorm word gather
         with a compare-select-reduce over the word columns (the gather is
@@ -321,6 +327,7 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_fuse_slices_streams_byte_identical(self, monkeypatch):
         """RGBDC_FUSE_SLICES=1 on the united path (z + all slices as ONE
         executable per direction — the cold-compile lever, docs/PERF.md
@@ -395,6 +402,7 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["d"]), np.asarray(out["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_scan_out_streams_byte_identical(self, monkeypatch):
         """RGBDC_ENC_SCANOUT=1 (scan-output encoder: tiny carry + one
         post-scan compaction scatter) must produce byte-identical streams
@@ -429,6 +437,7 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["r"]), np.asarray(out_o["y_hat"]["r"])
         )
 
+    @pytest.mark.full
     def test_gcompact_streams_byte_identical(self, monkeypatch):
         """RGBDC_ENC_GCOMPACT=1 (sort-free gather compaction of the word
         streams AND the escape sideband) must produce byte-identical
@@ -512,6 +521,7 @@ class TestDeviceEncodePath:
             np.asarray(dec["y_hat"]["r"]), np.asarray(out_s["y_hat"]["r"])
         )
 
+    @pytest.mark.full
     def test_dense_capped_tables(self, monkeypatch):
         """RGBDC_DENSE128=1: every CDF row capped so the dense one-hot path
         covers the whole table (LUTs replaced by dummies).  Streams CHANGE
@@ -562,6 +572,7 @@ class TestDeviceEncodePath:
             np.asarray(dec_d["y_hat"]["d"]), np.asarray(out_d["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_pallas_stack_streams_and_closure(self, monkeypatch):
         """The full Pallas serving stack (DENSE128 + ESCFIX + DEC_PALLAS +
         ENC_PALLAS, interpret mode on CPU): streams must be byte-identical
@@ -605,6 +616,7 @@ class TestDeviceEncodePath:
             np.asarray(dec_p["y_hat"]["d"]), np.asarray(out_p["y_hat"]["d"])
         )
 
+    @pytest.mark.full
     def test_full_serving_config_combined(self, monkeypatch):
         """All serving knobs ON together (DEVICE_ENCODE + ENC_SCANOUT +
         FLAT_UPLOAD + BF16_FLOW): the combination must hold the bit-exact

@@ -136,6 +136,7 @@ class TestTesterUnitedRealFiles:
 
 
 class TestTesterMasterCascade:
+    @pytest.mark.full
     def test_full_cascade_end_to_end(self, tmp_path):
         """aux roundtrip -> master conditioned on DECODED aux -> side-info
         written into and charged against the master bitstream file."""

@@ -81,6 +81,7 @@ class TestUnitedRoundtrip:
             atol=1e-3,
         )
 
+    @pytest.mark.full
     def test_file_bpp_vs_estimate(self, united_setup, rng):
         model, variables = united_setup
         codec = UnitedCodec(model, variables)

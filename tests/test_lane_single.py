@@ -136,6 +136,7 @@ class TestSingleLaneCodec:
             np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
         )
 
+    @pytest.mark.full
     def test_fuse_slices_roundtrip(self, elic_mv, images, monkeypatch):
         """RGBDC_FUSE_SLICES=1 traces the z program + every fused slice
         program into ONE executable per direction; the op sequence is
@@ -206,6 +207,7 @@ class TestMlicLane:
             np.asarray(compat["y_hat"]), np.asarray(out["y_hat"])
         )
 
+    @pytest.mark.full
     def test_fuse_slices_roundtrip(self, images, monkeypatch):
         """The consolidation target (VERDICT r3 task 3): MLIC's 10-slice
         flow as ONE executable per direction under RGBDC_FUSE_SLICES=1,
@@ -286,6 +288,7 @@ class TestSTFLane:
 
 
 class TestSingleLaneSharded:
+    @pytest.mark.full
     def test_dp_serving_roundtrip(self, elic_mv):
         """Batch-sharded single-lane serving over the virtual device mesh:
         streams identical to the unsharded codec's, decode bit-exact."""

@@ -119,6 +119,7 @@ class TestMasterLaneServing:
             np.asarray(compat["y_hat"]), np.asarray(comp["y_hat"])
         )
 
+    @pytest.mark.full
     def test_lane_full_serving_config(self, cascade, monkeypatch):
         """The bench knob set applied to the cascade lane path."""
         monkeypatch.setenv("RGBDC_DENSE128", "1")
@@ -142,6 +143,7 @@ class TestMasterLaneServing:
             np.asarray(dec["y_hat"]), np.asarray(comp["y_hat"])
         )
 
+    @pytest.mark.full
     def test_lane_sharded_roundtrip(self, cascade):
         """DP-sharded cascade serving over the virtual mesh: streams equal
         the unsharded codec's, decode bit-exact (VERDICT r3 task 2)."""

@@ -108,6 +108,7 @@ class TestDualOptimizer:
 
 
 class TestDataParallel:
+    @pytest.mark.full
     def test_dp_train_step_matches_single_device(self):
         """8-device virtual mesh: batch sharded, params replicated; the
         same jitted step runs DP (XLA inserts the grad psum) and matches
