@@ -196,6 +196,106 @@ def eval_classical(rgb_np, depth_np):
     return rows
 
 
+def _interp_anchor(classical, name, bpp):
+    """PSNR of anchor ``name`` interpolated at rate ``bpp`` (linear in
+    log-bpp, the usual RD-curve interpolation).  None outside the anchor's
+    measured rate range — no extrapolated claims."""
+    import math
+
+    pts = sorted(
+        (float(r["bpp"]), float(r["psnr"]))
+        for r in classical if r["model"] == name
+    )
+    if not pts or bpp < pts[0][0] or bpp > pts[-1][0]:
+        return None
+    for (b0, p0), (b1, p1) in zip(pts, pts[1:]):
+        if b0 <= bpp <= b1:
+            t = (math.log(bpp) - math.log(b0)) / (math.log(b1) - math.log(b0))
+            return p0 + t * (p1 - p0)
+    return None
+
+
+def _reading_section(learned_u, learned_su, learned_e, classical):
+    """Generated claims: computed from the rows being written, never
+    hand-maintained (the round-4 text went stale against its own table)."""
+    lines = ["", "## Reading", ""]
+    lines += [
+        "What the table proves is the END-TO-END MULTI-RATE PIPELINE: "
+        "every learned row came through train -> f16 export -> quantile "
+        "fit -> REAL entropy-coded streams -> bit-exact decode -> "
+        "file-size accounting, across the reference lambda grid.",
+        "",
+    ]
+    # monotonicity: PSNR non-decreasing in lambda, per family/modality
+    checks = []
+    for tag, rows_, key in (
+        ("flagship RGB", learned_u, "r_psnr"),
+        ("flagship depth", learned_u, "d_psnr"),
+        ("STF_united RGB", learned_su, "r_psnr"),
+        ("STF_united depth", learned_su, "d_psnr"),
+        ("ELIC", learned_e, "psnr"),
+    ):
+        if len(rows_) < 2:
+            continue
+        seq = [float(r[key]) for r in sorted(rows_, key=lambda r: r["lambda"])]
+        ok = all(a <= b + 1e-9 for a, b in zip(seq, seq[1:]))
+        checks.append((tag, ok, seq))
+    mono = [t for t, ok, _ in checks if ok]
+    non = [(t, s) for t, ok, s in checks if not ok]
+    if mono:
+        lines.append(
+            "Distortion is monotone in lambda for: " + ", ".join(mono) + "."
+        )
+    for t, s in non:
+        lines.append(
+            f"NON-MONOTONE: {t} PSNR over the grid reads "
+            + " -> ".join(f"{v:.2f}" for v in s) + " dB."
+        )
+    # learned vs anchors at matched rate (interpolated on the anchor curve)
+    beats = []
+    for fam, rows_ in (("flagship", learned_u), ("STF_united", learned_su)):
+        for r in rows_:
+            for anchor in ("webp", "jpeg"):
+                a = _interp_anchor(classical, anchor, float(r["r_bpp"]))
+                if a is not None and float(r["r_psnr"]) > a:
+                    beats.append(
+                        f"{fam} {r['quality']} RGB {r['r_psnr']} dB @ "
+                        f"{r['r_bpp']} bpp vs {anchor} {a:.2f} dB"
+                    )
+    for r in learned_e:
+        for anchor in ("webp", "jpeg"):
+            a = _interp_anchor(classical, anchor, float(r["bpp"]))
+            if a is not None and float(r["psnr"]) > a:
+                beats.append(
+                    f"ELIC {r['quality']} {r['psnr']} dB @ {r['bpp']} bpp "
+                    f"vs {anchor} {a:.2f} dB"
+                )
+    lines.append("")
+    if beats:
+        lines.append(
+            "Learned points beating a classical anchor at matched rate "
+            "(anchor PSNR log-bpp-interpolated at the learned point's "
+            "rate):"
+        )
+        lines += [f"- {b}" for b in beats]
+    else:
+        lines.append(
+            "No learned point beats the classical anchors at matched rate "
+            "on this corpus at the current calibration budget."
+        )
+    lines += [
+        "",
+        "What the table does NOT claim: parity with the reference's "
+        "published NYUv2 curves — these calibrations are 3-16k "
+        "fixture-overfit steps against the reference protocol's 400 "
+        "epochs on NYU5k.  Closing that gap is a training-compute "
+        "question, not a framework one: the trainers, losses, lambda "
+        "grid, export path, and serving stack exercised here are the "
+        "production path.",
+    ]
+    return lines
+
+
 def write_md(rows, path):
     """docs/RD.md: the multi-lambda calibration RD table with classical
     anchors (VERDICT r3 task 1)."""
@@ -277,27 +377,8 @@ def write_md(rows, path):
             f"| {r['model']} | {r['quality']} | {r['bpp']} | {r['psnr']} | "
             f"{r['msssim']} | {r['d_bpp']} | {r['d_psnr']} |"
         )
+    lines += _reading_section(learned_u, learned_su, learned_e, classical)
     lines += [
-        "",
-        "## Reading",
-        "",
-        "What the table proves is the END-TO-END MULTI-RATE PIPELINE: "
-        "every learned row came through train -> f16 export -> quantile "
-        "fit -> REAL entropy-coded streams -> bit-exact decode -> "
-        "file-size accounting, at three lambda grid points.  Distortion "
-        "is monotone in lambda (ELIC PSNR 32.6 -> 33.6 -> 37.5; flagship "
-        "depth PSNR 27.8 -> 35.5 -> 44.2), and the learned points beat "
-        "the JPEG anchor at matched rate.  What the table does NOT claim: "
-        "competitive RD against the stronger anchors (WebP's low-rate "
-        "points win on this corpus) or against the reference's published "
-        "NYUv2 curves — these calibrations are 4-10k fixture-overfit "
-        "steps against the reference protocol's 400 epochs on NYU5k, and "
-        "the flagship's q6 RGB point evals below its q2 (the jitter-crop "
-        "training distribution generalizes noisily to the clean full-res "
-        "eval at this budget).  Closing that gap is a training-compute "
-        "question, not a framework one: the trainers, losses, lambda "
-        "grid, export path, and serving stack exercised here are the "
-        "production path.",
         "",
     ]
     with open(path, "w") as f:
@@ -311,7 +392,19 @@ def main():
     ap.add_argument("--md", default="")
     ap.add_argument("--skip-learned", action="store_true")
     ap.add_argument("--skip-classical", action="store_true")
+    ap.add_argument(
+        "--only", default="",
+        help="comma list of <stem>_<q> tokens (e.g. elic_united_q6,"
+             "STF_united_q0): evaluate only these learned rows",
+    )
+    ap.add_argument(
+        "--merge-json", default="",
+        help="prior rows JSON (e.g. docs/RD.json): rows NOT re-evaluated "
+             "this run are carried over, so a partial --only run still "
+             "writes the full table",
+    )
     args = ap.parse_args()
+    only = set(t for t in args.only.split(",") if t)
 
     from rgbdc_tpu.utils.cache import enable_compile_cache
 
@@ -328,6 +421,8 @@ def main():
                 ck = os.path.join(_REPO, "calib", f"{stem}_{q}.f16.msgpack")
                 if not os.path.exists(ck):
                     continue
+                if only and f"{stem}_{q}" not in only:
+                    continue
                 if model_name == "ELIC":
                     row = eval_single(ck, q, rgb_np)
                 else:
@@ -338,6 +433,18 @@ def main():
         for row in eval_classical(rgb_np, depth_np):
             rows.append(row)
             print(json.dumps(row), flush=True)
+    if args.merge_json:
+        with open(args.merge_json) as f:
+            prior = json.load(f)
+        fresh = {(r["model"], str(r["quality"])) for r in rows}
+        carried = [
+            r for r in prior if (r["model"], str(r["quality"])) not in fresh
+        ]
+        def _qkey(q):
+            s = str(q)
+            return int(s[1:]) if s.startswith("q") else int(s)
+
+        rows = sorted(rows + carried, key=lambda r: (r["model"], _qkey(r["quality"])))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
